@@ -1,0 +1,133 @@
+"""Ghiasi arbitrary-style-transfer generator in flax — reference ghiasi.py.
+
+The style augmentor's transformer (Ghiasi et al. 2017): 3 unconditioned
+downsampling ConvInRelu layers, 5 FiLM-conditioned residual blocks, 2
+FiLM-conditioned upsample layers and a 9x9 output conv + sigmoid
+(ghiasi.py:106-136). Style conditioning is per-layer FiLM: gamma/beta =
+Linear(100 -> C) applied after InstanceNorm (ghiasi.py:50-59, 83-103).
+
+Runs INSIDE the jitted train step on TPU (the reference runs it per-batch
+under no_grad on GPU, styleAugmentor.py:51-68 — the single most expensive
+non-backbone compute, SURVEY.md §3.1). Instance norm + FiLM + ReLU chains can
+optionally route through the fused Pallas kernel in ops/pallas_instancenorm.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.instancenorm import instance_norm_film
+
+
+def reflect_pad(x, pad: int):
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def upsample_nearest(x, factor: int = 2):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+class ConvInRelu(nn.Module):
+    """ReflectionPad + Conv + InstanceNorm + ReLU (ghiasi.py:6-23)."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad(x, self.kernel_size // 2)
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    strides=(self.strides, self.strides), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = instance_norm_film(x)  # no FiLM -> plain instance norm
+        return nn.relu(x)
+
+
+class UpsampleConvInRelu(nn.Module):
+    """Optional upsample + ReflectionPad + Conv + IN + FiLM (+ ReLU)
+    (ghiasi.py:26-62). ``activation=None`` for the output layer."""
+
+    features: int
+    kernel_size: int
+    upsample: Optional[int] = None
+    use_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        gamma = nn.Dense(self.features, param_dtype=jnp.float32,
+                         dtype=jnp.float32, name="fc_gamma")(style)
+        beta = nn.Dense(self.features, param_dtype=jnp.float32,
+                        dtype=jnp.float32, name="fc_beta")(style)
+        if self.upsample:
+            x = upsample_nearest(x, self.upsample)
+        x = reflect_pad(x, self.kernel_size // 2)
+        x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
+                    padding="VALID", dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = instance_norm_film(x, gamma, beta)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """Johnson-style residual block with two FiLM-conditioned convs
+    (ghiasi.py:65-103)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, style):
+        film = lambda name: (
+            nn.Dense(self.features, param_dtype=jnp.float32, dtype=jnp.float32,
+                     name=f"fc_gamma{name}")(style),
+            nn.Dense(self.features, param_dtype=jnp.float32, dtype=jnp.float32,
+                     name=f"fc_beta{name}")(style),
+        )
+        g1, b1 = film("1")
+        g2, b2 = film("2")
+
+        y = reflect_pad(x, 1)
+        y = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(y)
+        y = nn.relu(instance_norm_film(y, g1, b1))
+        y = reflect_pad(y, 1)
+        y = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv2")(y)
+        y = instance_norm_film(y, g2, b2)
+        return x + y
+
+
+class Ghiasi(nn.Module):
+    """Full generator (ghiasi.py:106-136): sigmoid(conv_stack(x, style))."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, styles):
+        """x: (B, H, W, 3) in [0,1]; styles: (B, 100). H, W divisible by 4."""
+        x = x.astype(self.dtype)
+        styles = styles.astype(jnp.float32)
+
+        x = ConvInRelu(32, 9, 1, dtype=self.dtype, name="layer0")(x)
+        x = ConvInRelu(64, 3, 2, dtype=self.dtype, name="layer1")(x)
+        x = ConvInRelu(128, 3, 2, dtype=self.dtype, name="layer2")(x)
+        for i in range(5):
+            x = ResidualBlock(128, dtype=self.dtype, name=f"layer{3 + i}")(x, styles)
+        x = UpsampleConvInRelu(64, 3, upsample=2, dtype=self.dtype,
+                               name="layer8")(x, styles)
+        x = UpsampleConvInRelu(32, 3, upsample=2, dtype=self.dtype,
+                               name="layer9")(x, styles)
+        x = UpsampleConvInRelu(3, 9, upsample=None, use_relu=False,
+                               dtype=self.dtype, name="layer10")(x, styles)
+        return nn.sigmoid(x.astype(jnp.float32))
