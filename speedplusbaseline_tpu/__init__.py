@@ -18,3 +18,30 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _respect_jax_platforms_env() -> None:
+    """Make the JAX_PLATFORMS env var authoritative.
+
+    This machine's TPU plugin boot (sitecustomize) calls
+    ``jax.config.update("jax_platforms", "axon,cpu")`` at interpreter
+    startup, which silently overrides a user/CI ``JAX_PLATFORMS=cpu`` env
+    setting. CPU-only test runs then still initialize the TPU backend and
+    block on the single-process TPU claim. Re-applying the env var here (at
+    package import, before any backend initializes) restores the documented
+    JAX behavior: set JAX_PLATFORMS=cpu and you get CPU.
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            import jax
+
+            if jax.config.jax_platforms != env:
+                jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
+_respect_jax_platforms_env()

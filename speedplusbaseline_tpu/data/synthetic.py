@@ -1,0 +1,102 @@
+"""Synthetic SPEED+-format dataset generator for tests and benchmarks.
+
+Writes a miniature dataset with the exact on-disk layout the reference
+consumes (README.md structure):
+
+  root/
+    camera.json                      (cameraMatrix, distCoeffs)
+    {domain}/images/imgNNNNNN.jpg
+    {domain}/{split}.json            (q_vbs2tango_true, r_Vo2To_vbs_true)
+
+Images contain bright gaussian blobs at each projected keypoint location on a
+noisy background, so KRN training on this data is actually learnable — the
+e2e tests train a few steps and watch the loss drop. Run preprocess.py on the
+generated JSONs to produce the CSVs (exercising the real label pipeline).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from ..geometry.projection import project_keypoints
+from ..io_utils.assets import load_tango_3d_keypoints
+
+
+def _default_camera(width: int, height: int):
+    f = 0.6 * width  # short focal so a ~1m target at 3-6m fits the tiny frame
+    camera_matrix = [[f, 0.0, width / 2.0], [0.0, f, height / 2.0], [0.0, 0.0, 1.0]]
+    dist = [-0.1, 0.03, -5e-4, -5e-4, 0.0]
+    return camera_matrix, dist
+
+
+def _render(width, height, uv, rs):
+    """Noisy background + gaussian blob per keypoint, distinct intensities."""
+    img = (rs.rand(height, width, 3) * 40).astype(np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    k = uv.shape[1]
+    for i in range(k):
+        u, v = uv[0, i], uv[1, i]
+        blob = np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2.0 * 2.5**2))
+        color = np.array([120 + 135 * (i % 3 == 0),
+                          120 + 135 * (i % 3 == 1),
+                          120 + 135 * (i % 3 == 2)], dtype=np.float32) / 255.0
+        img += blob[..., None] * color[None, None] * 255.0
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def generate_fake_speedplus(
+    root: str,
+    num_train: int = 24,
+    num_test: int = 8,
+    width: int = 320,
+    height: int = 200,
+    domains: Sequence[str] = ("synthetic", "lightbox"),
+    seed: int = 0,
+) -> str:
+    """Create the dataset under ``root``/speedplus and return that path."""
+    from PIL import Image
+
+    dataroot = os.path.join(root, "speedplus")
+    os.makedirs(dataroot, exist_ok=True)
+    camera_matrix, dist = _default_camera(width, height)
+    with open(os.path.join(dataroot, "camera.json"), "w") as f:
+        json.dump({"cameraMatrix": camera_matrix, "distCoeffs": dist}, f)
+
+    kpts3d = load_tango_3d_keypoints()
+    K = np.array(camera_matrix, dtype=np.float64)
+    D = np.array(dist, dtype=np.float64)
+
+    rs = np.random.RandomState(seed)
+    for domain in domains:
+        img_dir = os.path.join(dataroot, domain, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        for split, n in (("train", num_train), ("test", num_test)):
+            labels = []
+            for i in range(n):
+                q = rs.randn(4)
+                q /= np.linalg.norm(q)
+                if q[0] < 0:
+                    q = -q
+                t = np.array([rs.uniform(-0.3, 0.3), rs.uniform(-0.2, 0.2),
+                              rs.uniform(3.0, 6.0)])
+                uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
+                # Keep targets fully inside the frame.
+                if (uv[0].min() < 8 or uv[0].max() > width - 8
+                        or uv[1].min() < 8 or uv[1].max() > height - 8):
+                    t[2] += 2.0
+                    uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
+                fname = f"{domain}_{split}_img{i:06d}.jpg"
+                img = _render(width, height, uv, rs)
+                Image.fromarray(img).save(
+                    os.path.join(img_dir, fname), quality=92)
+                labels.append({
+                    "filename": fname,
+                    "q_vbs2tango_true": [float(v) for v in q],
+                    "r_Vo2To_vbs_true": [float(v) for v in t],
+                })
+            with open(os.path.join(dataroot, domain, f"{split}.json"), "w") as f:
+                json.dump(labels, f)
+    return dataroot

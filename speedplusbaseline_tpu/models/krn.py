@@ -42,9 +42,11 @@ class KeypointRegressionNet(nn.Module):
         y = RouterV2(64, dtype=self.dtype, name="router")(y, tap, train)
         y = ConvDw(1024, 1, dtype=self.dtype, name="extra3")(y, train)
 
-        # Head: 7x7 valid conv -> (B, 1, 1, 2K) (park2019.py:121)
+        # Head: full-map valid conv -> (B, 1, 1, 2K). At the reference's
+        # 224x224 input this is exactly the 7x7 conv of park2019.py:121; the
+        # kernel tracks the incoming map so smaller (test) inputs also work.
         y = nn.Conv(
-            2 * self.num_keypoints, (7, 7), padding="VALID",
+            2 * self.num_keypoints, (y.shape[1], y.shape[2]), padding="VALID",
             dtype=self.dtype, param_dtype=jnp.float32, name="head",
         )(y)
         y = y.reshape(y.shape[0], 2 * self.num_keypoints).astype(jnp.float32)

@@ -1,0 +1,178 @@
+"""Checkpoint converters: torch/caffe weight formats -> flax params.
+
+Covers the three pretrained-weight dependencies of the reference:
+  * torchvision ``mobilenet_v2`` ImageNet weights -> KRN backbone
+    (reference park2019.py:107, ``pretrained=True``)
+  * ``bvlc_alexnet.npy`` (caffe, HWIO) conv1-5 -> SPN trunk
+    (reference spn.py:101-123)
+  * ``checkpoint_transformer.pth`` (philipjackson/style-augmentation) ->
+    Ghiasi flax params (reference styleAugmentor.py:23-27)
+
+None of the binary assets ship in this environment (no network egress;
+.MISSING_LARGE_BLOBS), so these converters are exercised by tests on
+synthetically-generated state dicts with the original layouts, and run for
+real when a user provides the files.
+
+Layout rules:
+  torch Conv2d  (O, I/g, kh, kw) -> flax (kh, kw, I/g, O): transpose(2,3,1,0)
+  torch Linear  (O, I)           -> flax (I, O):           transpose
+  torch BN      weight/bias/running_mean/running_var ->
+                scale/bias + batch_stats mean/var
+  caffe conv    (kh, kw, I/g, O) -> flax: identity (already HWIO)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _t_conv(w) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _t_lin(w) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(np.asarray(w)))
+
+
+def _bn(prefix: str, sd: Dict[str, Any]):
+    return (
+        {"scale": np.asarray(sd[prefix + ".weight"]),
+         "bias": np.asarray(sd[prefix + ".bias"])},
+        {"mean": np.asarray(sd[prefix + ".running_mean"]),
+         "var": np.asarray(sd[prefix + ".running_var"])},
+    )
+
+
+def _convbn(conv_key: str, bn_key: str, sd) -> tuple:
+    params_bn, stats_bn = _bn(bn_key, sd)
+    params = {"Conv_0": {"kernel": _t_conv(sd[conv_key + ".weight"])},
+              "BatchNorm_0": params_bn}
+    stats = {"BatchNorm_0": stats_bn}
+    return params, stats
+
+
+def convert_mobilenet_v2(sd: Dict[str, Any]):
+    """torchvision mobilenet_v2 state_dict -> (params, batch_stats) trees for
+    models.mobilenetv2.MobileNetV2Features (stem + block1..block17).
+
+    torchvision layout: features.0 = ConvBNReLU stem; features.i (i=1..17) =
+    InvertedResidual with .conv = [ConvBNReLU expand]? + ConvBNReLU dw +
+    Conv project + BN.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    params["stem"], stats["stem"] = _convbn("features.0.0", "features.0.1", sd)
+
+    # (expand_ratio, repeats) schedule mirrors mobilenetv2._IR_SETTINGS.
+    settings = [(1, 1), (6, 2), (6, 3), (6, 4), (6, 3), (6, 3), (6, 1)]
+    idx = 1
+    for (t, n) in settings:
+        for _ in range(n):
+            name = f"block{idx}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            base = f"features.{idx}.conv"
+            if t != 1:
+                p["expand"], s["expand"] = _convbn(f"{base}.0.0", f"{base}.0.1", sd)
+                dw_i, proj_conv_i, proj_bn_i = 1, 2, 3
+            else:
+                dw_i, proj_conv_i, proj_bn_i = 0, 1, 2
+            p["depthwise"], s["depthwise"] = _convbn(
+                f"{base}.{dw_i}.0", f"{base}.{dw_i}.1", sd)
+            bn_p, bn_s = _bn(f"{base}.{proj_bn_i}", sd)
+            p["project"] = {
+                "Conv_0": {"kernel": _t_conv(sd[f"{base}.{proj_conv_i}.weight"])},
+                "BatchNorm_0": bn_p,
+            }
+            s["project"] = {"BatchNorm_0": bn_s}
+            params[name] = p
+            stats[name] = s
+            idx += 1
+    return params, stats
+
+
+def load_mobilenet_v2_into_krn(krn_variables, sd: Dict[str, Any]):
+    """Replace the ``base`` subtree of KRN variables with converted
+    torchvision weights; extras/head keep their fresh init."""
+    import jax
+
+    params, stats = convert_mobilenet_v2(sd)
+    new_vars = jax.tree_util.tree_map(lambda x: x, krn_variables)  # copy refs
+    new_params = dict(new_vars["params"])
+    new_params["base"] = jax.tree_util.tree_map(np.asarray, params)
+    new_stats = dict(new_vars.get("batch_stats", {}))
+    new_stats["base"] = jax.tree_util.tree_map(np.asarray, stats)
+    return {**new_vars, "params": new_params, "batch_stats": new_stats}
+
+
+def convert_bvlc_alexnet(weights_dict: Dict[str, Any], spn_params):
+    """bvlc_alexnet.npy dict -> SPN params with conv1-5 replaced
+    (spn.py:104-123). The caffe arrays are HWIO already — flax-native, no
+    transpose (the torch reference had to transpose to OIHW)."""
+    out = dict(spn_params)
+    for name in ["conv1", "conv2", "conv3", "conv4", "conv5"]:
+        entry = dict(out[name])
+        for data in weights_dict[name]:
+            data = np.asarray(data)
+            if data.ndim == 4:
+                entry["kernel"] = data.astype(np.float32)
+            else:
+                entry["bias"] = data.astype(np.float32)
+        out[name] = entry
+    return out
+
+
+_GHIASI_TORCH_LAYERS = {
+    # layer index -> (kind) for mapping torch module names
+    0: "convinrelu", 1: "convinrelu", 2: "convinrelu",
+    3: "res", 4: "res", 5: "res", 6: "res", 7: "res",
+    8: "upsample", 9: "upsample", 10: "upsample",
+}
+
+
+def convert_ghiasi(sd: Dict[str, Any], ghiasi_params):
+    """checkpoint_transformer.pth state dict (keys ``layers.N.*``) -> flax
+    Ghiasi params (models/ghiasi.py layerN names)."""
+    out = {k: dict(v) for k, v in ghiasi_params.items()}
+
+    def put(layer: str, sub: str, kernel=None, bias=None):
+        entry = dict(out[layer].get(sub, {}))
+        if kernel is not None:
+            entry["kernel"] = kernel
+        if bias is not None:
+            entry["bias"] = bias
+        d = dict(out[layer])
+        d[sub] = entry
+        out[layer] = d
+
+    for i, kind in _GHIASI_TORCH_LAYERS.items():
+        layer = f"layer{i}"
+        p = f"layers.{i}."
+        if kind == "convinrelu":
+            put(layer, "Conv_0",
+                kernel=_t_conv(sd[p + "conv.weight"]),
+                bias=np.asarray(sd[p + "conv.bias"]))
+        elif kind == "res":
+            for j in (1, 2):
+                put(layer, f"conv{j}",
+                    kernel=_t_conv(sd[p + f"conv{j}.weight"]),
+                    bias=np.asarray(sd[p + f"conv{j}.bias"]))
+                put(layer, f"fc_gamma{j}",
+                    kernel=_t_lin(sd[p + f"fc_gamma{j}.weight"]),
+                    bias=np.asarray(sd[p + f"fc_gamma{j}.bias"]))
+                put(layer, f"fc_beta{j}",
+                    kernel=_t_lin(sd[p + f"fc_beta{j}.weight"]),
+                    bias=np.asarray(sd[p + f"fc_beta{j}.bias"]))
+        else:  # upsample
+            put(layer, "Conv_0",
+                kernel=_t_conv(sd[p + "conv.weight"]),
+                bias=np.asarray(sd[p + "conv.bias"]))
+            put(layer, "fc_gamma",
+                kernel=_t_lin(sd[p + "fc_gamma.weight"]),
+                bias=np.asarray(sd[p + "fc_gamma.bias"]))
+            put(layer, "fc_beta",
+                kernel=_t_lin(sd[p + "fc_beta.weight"]),
+                bias=np.asarray(sd[p + "fc_beta.bias"]))
+    return out

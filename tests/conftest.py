@@ -5,12 +5,21 @@ hardware. Must run before anything imports jax, hence module scope here.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine's base environment pins JAX_PLATFORMS to the TPU
+# plugin, so setdefault would silently leave tests running over the TPU
+# tunnel (slow, and single-claim contention hangs concurrent processes).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The machine's TPU plugin sitecustomize force-writes jax_platforms at
+# interpreter startup; importing the package re-applies JAX_PLATFORMS=cpu
+# (see speedplusbaseline_tpu._respect_jax_platforms_env) so tests never touch
+# (or block on) the single TPU claim.
+import speedplusbaseline_tpu  # noqa: E402,F401
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
