@@ -43,14 +43,25 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
 
 
 def restore_train_state(state: TrainState, ckpt: dict) -> TrainState:
-    """Load a checkpoint dict (from io_utils.checkpoint) into a live state."""
+    """Load a checkpoint dict (from io_utils.checkpoint) into a live state.
+
+    Accepts either raw state-dict form (nested dicts from msgpack) or a
+    checkpoint already restored into live pytrees by
+    ``load_checkpoint(path, template)`` — the opt_state of the latter is a
+    tuple, which must not be run through from_state_dict again.
+    """
     from flax import serialization
+
+    def maybe_restore(target, value):
+        if isinstance(value, dict) and not isinstance(target, dict):
+            return serialization.from_state_dict(target, value)
+        return value
 
     variables = ckpt["variables"]
     params = serialization.from_state_dict(state.params, variables["params"])
     batch_stats = serialization.from_state_dict(
         state.batch_stats, variables.get("batch_stats", {}))
-    opt_state = serialization.from_state_dict(state.opt_state, ckpt["opt_state"])
+    opt_state = maybe_restore(state.opt_state, ckpt["opt_state"])
     step = jnp.asarray(ckpt.get("step", 0), jnp.int32)
     return state.replace(params=params, batch_stats=batch_stats,
                          opt_state=opt_state, step=step)

@@ -31,7 +31,10 @@ def save_checkpoint(state_dict: Dict[str, Any], is_best: bool, output_dir: str,
                     filename: str = CKPT_NAME) -> None:
     """state_dict: {'epoch', 'model', 'variables', 'opt_state', 'best_score'}."""
     os.makedirs(output_dir, exist_ok=True)
-    payload = serialization.msgpack_serialize(_to_host(state_dict))
+    # to_state_dict first: optax states are (named)tuples, which msgpack
+    # can't encode directly; the state-dict form is pure nested dicts.
+    payload = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(state_dict)))
     path = os.path.join(output_dir, filename)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -40,7 +43,8 @@ def save_checkpoint(state_dict: Dict[str, Any], is_best: bool, output_dir: str,
     logger.info("Checkpoint saved to %s", path)
 
     if is_best and "variables" in state_dict:
-        best = serialization.msgpack_serialize(_to_host(state_dict["variables"]))
+        best = serialization.msgpack_serialize(
+            serialization.to_state_dict(_to_host(state_dict["variables"])))
         best_path = os.path.join(output_dir, BEST_NAME)
         with open(best_path, "wb") as f:
             f.write(best)

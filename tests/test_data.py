@@ -1,0 +1,203 @@
+"""Data pipeline tests: fake dataset -> preprocess -> datasets -> loader."""
+import os
+
+import numpy as np
+import pytest
+
+from speedplusbaseline_tpu.config import default_cfg
+from speedplusbaseline_tpu.data import (
+    KRNDataset,
+    SPNDataset,
+    generate_fake_speedplus,
+    make_dataloader,
+)
+from speedplusbaseline_tpu.data.preprocess import get_quat_bins, json2csv
+from speedplusbaseline_tpu.data.transforms import random_crop, resize_crop
+from speedplusbaseline_tpu.io_utils.assets import load_attitude_classes
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("speed"))
+    generate_fake_speedplus(tmp, num_train=12, num_test=6)
+    for model in ("krn", "spn"):
+        for domain, split in (("synthetic", "train"), ("lightbox", "test")):
+            csv = f"splits_{model}/{'train' if split == 'train' else 'lightbox'}.csv"
+            json2csv(tmp, "speedplus", domain, f"{split}.json", csv,
+                     model_name=model)
+    return tmp
+
+
+def make_cfg(fake_root, **kw):
+    base = dict(dataroot=fake_root, batch_size=4, num_workers=2,
+                input_shape=(64, 64), test_csv="lightbox.csv")
+    base.update(kw)
+    return default_cfg(**base)
+
+
+class TestPreprocess:
+    def test_csv_schema_krn(self, fake_root):
+        import pandas as pd
+
+        csv = pd.read_csv(os.path.join(
+            fake_root, "speedplus/synthetic/splits_krn/train.csv"), header=None)
+        assert csv.shape[1] == 1 + 4 + 4 + 3 + 22  # path,bbox,q,t,keypts
+        bbox = csv.iloc[0, 1:5].to_numpy(dtype=float)
+        assert bbox[0] < bbox[1] and bbox[2] < bbox[3]
+        # bbox must equal min/max of the keypoint columns
+        kx = csv.iloc[0, 12::2].to_numpy(dtype=float)
+        ky = csv.iloc[0, 13::2].to_numpy(dtype=float)
+        np.testing.assert_allclose([kx.min(), kx.max(), ky.min(), ky.max()],
+                                   bbox, rtol=1e-5)
+
+    def test_csv_schema_spn(self, fake_root):
+        import pandas as pd
+
+        csv = pd.read_csv(os.path.join(
+            fake_root, "speedplus/synthetic/splits_spn/train.csv"), header=None)
+        assert csv.shape[1] == 1 + 4 + 4 + 3 + 5 + 5  # + classes + weights
+        classes = csv.iloc[0, 12:17].to_numpy(dtype=int)
+        weights = csv.iloc[0, 17:22].to_numpy(dtype=float)
+        assert (classes >= 0).all() and (classes < 5000).all()
+        assert abs(weights.sum() - 1.0) < 1e-6
+        assert weights[0] >= weights[-1]  # sorted by angular distance
+
+    def test_quat_bins_properties(self, rng):
+        q_class = load_attitude_classes()
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        classes, weights = get_quat_bins(q, q_class.astype(np.float64), 5)
+        assert len(set(classes.tolist())) == 5
+        assert abs(weights.sum() - 1.0) < 1e-9
+        # nearest class must be the global argmin of angular distance
+        dots = np.abs(q_class @ q)
+        angles = 2 * np.arccos(np.minimum(dots, 1.0))
+        assert classes[0] == np.argmin(angles)
+
+
+class TestTransforms:
+    def test_random_crop_train_contains_bbox_center(self, rng):
+        gen = np.random.Generator(np.random.Philox(key=np.uint64([1, 2])))
+        img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+        bbox = [30, 70, 20, 60]
+        kp = np.array([[40.0, 50.0], [30.0, 40.0]])  # (2, 2) two keypoints
+        crop, new_bbox, kp_n = random_crop(gen, img, bbox, kp, (32, 32), True)
+        assert crop.shape == (32, 32, 3) and crop.dtype == np.float32
+        assert 0.0 <= crop.min() and crop.max() <= 1.0
+        # keypoints renormalized consistently with the returned crop box
+        np.testing.assert_allclose(
+            kp_n[0], (kp[0] - new_bbox[0]) / (new_bbox[1] - new_bbox[0]), atol=1e-5)
+
+    def test_random_crop_eval_deterministic(self, rng):
+        img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+        bbox = [30, 70, 20, 60]
+        kp = np.zeros((2, 11))
+        gen1 = np.random.Generator(np.random.Philox(key=np.uint64([1, 2])))
+        gen2 = np.random.Generator(np.random.Philox(key=np.uint64([3, 4])))
+        c1, b1, _ = random_crop(gen1, img, bbox, kp, (32, 32), False)
+        c2, b2, _ = random_crop(gen2, img, bbox, kp, (32, 32), False)
+        np.testing.assert_array_equal(c1, c2)  # test mode: fixed 1.2x, no RNG
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_resize_crop_returns_original_bbox(self, rng):
+        img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+        bbox = [-5.0, 200.0, 10.0, 90.0]  # exceeds frame on purpose
+        crop, out_bbox = resize_crop(img, bbox, (48, 48))
+        np.testing.assert_array_equal(out_bbox, np.asarray(bbox, np.float32))
+        assert crop.shape == (48, 48, 3)
+
+
+class TestDatasets:
+    def test_krn_train_sample(self, fake_root):
+        cfg = make_cfg(fake_root)
+        ds = KRNDataset(cfg, is_train=True, is_source=True)
+        s = ds.__getitem__(0, epoch=0)
+        assert s["image"].shape == (64, 64, 3)
+        assert s["keypts"].shape == (2, 11)
+        # Most keypoints should be inside the (enlarged) crop
+        inside = ((s["keypts"] >= -0.05) & (s["keypts"] <= 1.05)).mean()
+        assert inside > 0.9
+
+    def test_krn_eval_sample(self, fake_root):
+        cfg = make_cfg(fake_root)
+        ds = KRNDataset(cfg, is_train=False, is_source=False)
+        s = ds.__getitem__(0, epoch=0)
+        assert set(s) == {"image", "bbox", "q_gt", "t_gt"}
+        assert abs(np.linalg.norm(s["q_gt"]) - 1.0) < 1e-5
+
+    def test_krn_unlabeled_target(self, fake_root):
+        cfg = make_cfg(fake_root)
+        ds = KRNDataset(cfg, is_train=True, is_source=False, load_labels=False)
+        s = ds.__getitem__(0, epoch=0)
+        assert set(s) == {"image"}
+
+    def test_spn_train_sample(self, fake_root):
+        cfg = make_cfg(fake_root, model_name="spn")
+        ds = SPNDataset(cfg, is_train=True, is_source=True)
+        s = ds.__getitem__(0, epoch=0)
+        assert s["y_classes"].shape == (5000,)
+        assert abs(s["y_classes"].sum() - 1.0) < 1e-5  # 5 * (1/5)
+        assert abs(s["y_weights"].sum() - 1.0) < 1e-5
+
+    def test_determinism_across_workers(self, fake_root):
+        """Same (epoch, index) must produce identical augmented samples
+        regardless of arrival order — the reference's worker-seed concern
+        (transforms.py:31-36)."""
+        cfg = make_cfg(fake_root)
+        ds = KRNDataset(cfg, is_train=True, is_source=True)
+        a = ds.__getitem__(3, epoch=5)
+        b = ds.__getitem__(3, epoch=5)
+        np.testing.assert_array_equal(a["image"], b["image"])
+        c = ds.__getitem__(3, epoch=6)
+        assert np.abs(a["image"] - c["image"]).max() > 0  # epoch changes aug
+
+
+class TestLoader:
+    def test_batching_and_drop_last(self, fake_root):
+        cfg = make_cfg(fake_root, batch_size=5)
+        loader = make_dataloader(cfg, is_train=True)
+        batches = list(loader)
+        assert len(batches) == 12 // 5
+        assert batches[0]["image"].shape == (5, 64, 64, 3)
+
+    def test_shuffle_changes_with_epoch(self, fake_root):
+        cfg = make_cfg(fake_root, batch_size=4)
+        loader = make_dataloader(cfg, is_train=True)
+        loader.set_epoch(0)
+        e0 = [np.asarray(b["image"]).sum() for b in loader]
+        loader.set_epoch(1)
+        e1 = [np.asarray(b["image"]).sum() for b in loader]
+        assert not np.allclose(e0, e1)
+
+    def test_eval_loader_no_shuffle(self, fake_root):
+        cfg = make_cfg(fake_root)
+        loader = make_dataloader(cfg, is_train=False)
+        a = [np.asarray(b["q_gt"]) for b in loader]
+        b = [np.asarray(x["q_gt"]) for x in loader]
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestNativeLoader:
+    def test_native_matches_python_path(self, fake_root):
+        from speedplusbaseline_tpu.native import (
+            decode_crop_resize,
+            image_size,
+            native_available,
+        )
+
+        if not native_available():
+            pytest.skip("native loader not built")
+        img_dir = os.path.join(fake_root, "speedplus/synthetic/images")
+        path = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+        w, h = image_size(path)
+        assert (w, h) == (320, 200)
+        out = decode_crop_resize(path, (10, 10, 100, 80), (64, 64))
+        assert out.shape == (64, 64, 3)
+
+        import cv2
+
+        full = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        ref = cv2.resize(full[10:90, 10:110], (64, 64),
+                         interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
+        assert np.abs(out - ref).mean() < 0.02  # decode/resample tolerance

@@ -1,0 +1,137 @@
+"""Data-parallel correctness on the forced 8-device CPU mesh (SURVEY §2.9).
+
+The key property of the jit+GSPMD design: a step on a batch sharded over 8
+devices must produce the SAME new parameters as the same step on 1 device —
+gradient all-reduce and global BatchNorm statistics are inserted by the
+compiler, not hand-written.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speedplusbaseline_tpu.config import default_cfg
+from speedplusbaseline_tpu.engine import (
+    build_optimizer,
+    create_train_state,
+    make_krn_train_step,
+)
+from speedplusbaseline_tpu.models import KeypointRegressionNet
+from speedplusbaseline_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()
+
+
+class TestMesh:
+    def test_mesh_axes(self, eight_devices):
+        mesh = make_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.size == 8
+
+    def test_shard_batch_places_on_devices(self, eight_devices, rng):
+        mesh = make_mesh()
+        batch = {"image": rng.rand(16, 8, 8, 3).astype(np.float32)}
+        sharded = shard_batch(mesh, batch)
+        assert len(sharded["image"].sharding.device_set) == 8
+
+    def test_uneven_batch_rejected_cleanly(self, eight_devices, rng):
+        mesh = make_mesh()
+        with pytest.raises(Exception):
+            shard_batch(mesh, {"x": rng.rand(10, 4).astype(np.float32)})
+
+
+class TestDPStepEquivalence:
+    def test_sharded_step_matches_single_device(self, eight_devices, rng):
+        cfg = default_cfg(batch_size=16, input_shape=(64, 64), optimizer="sgd",
+                          lr=1e-2, momentum=0.0, weight_decay=0.0)
+        model = KeypointRegressionNet(cfg.num_keypoints)
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        key = jax.random.PRNGKey(0)
+
+        batch_np = {
+            "image": rng.rand(16, 64, 64, 3).astype(np.float32),
+            "keypts": rng.rand(16, 2, 11).astype(np.float32),
+        }
+
+        # Single device
+        state1 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        step = make_krn_train_step(model, tx, cfg, style_aug=None)
+        state1, sm1 = step(state1, jax.tree_util.tree_map(jnp.asarray, batch_np),
+                           key, None)
+
+        # 8-device mesh
+        mesh = make_mesh()
+        state8 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        state8, sm8 = step(state8, shard_batch(mesh, batch_np), key, None)
+
+        assert abs(float(sm1["loss_x"]) - float(sm8["loss_x"])) < 1e-3  # f32 reduction order
+        p1 = jax.tree_util.tree_leaves(state1.params)
+        p8 = jax.tree_util.tree_leaves(state8.params)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
+        assert worst < 1e-4, worst
+
+    def test_batch_stats_are_global(self, eight_devices, rng):
+        """BatchNorm means under the sharded step must equal the FULL batch
+        statistics — not per-shard (torch DDP would differ here)."""
+        cfg = default_cfg(batch_size=16, input_shape=(64, 64), optimizer="sgd",
+                          lr=0.0, momentum=0.0, weight_decay=0.0)
+        model = KeypointRegressionNet(cfg.num_keypoints)
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        key = jax.random.PRNGKey(0)
+        batch_np = {
+            "image": rng.rand(16, 64, 64, 3).astype(np.float32),
+            "keypts": rng.rand(16, 2, 11).astype(np.float32),
+        }
+        step = make_krn_train_step(model, tx, cfg, style_aug=None)
+
+        state1 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        state1, _ = step(state1, jax.tree_util.tree_map(jnp.asarray, batch_np),
+                         key, None)
+
+        mesh = make_mesh()
+        state8 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        state8, _ = step(state8, shard_batch(mesh, batch_np), key, None)
+
+        bs1 = jax.tree_util.tree_leaves(state1.batch_stats)
+        bs8 = jax.tree_util.tree_leaves(state8.batch_stats)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(bs1, bs8))
+        assert worst < 1e-4, worst
+
+
+class TestEvalSharded:
+    def test_eval_step_on_sharded_batch(self, eight_devices, rng, camera,
+                                        tango_points):
+        from speedplusbaseline_tpu.engine import make_krn_eval_step
+
+        K, dist = camera
+        cfg = default_cfg(batch_size=8, input_shape=(64, 64))
+        model = KeypointRegressionNet(cfg.num_keypoints)
+        import optax
+
+        state = create_train_state(model, optax.identity(),
+                                   jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)))
+        ev = make_krn_eval_step(model, tango_points, K, dist)
+        mesh = make_mesh()
+        batch = shard_batch(mesh, {
+            "image": rng.rand(8, 64, 64, 3).astype(np.float32),
+            "bbox": np.tile([100.0, 300, 100, 300], (8, 1)).astype(np.float32),
+            "q_gt": np.tile([1.0, 0, 0, 0], (8, 1)).astype(np.float32),
+            "t_gt": np.tile([0.0, 0, 5.0], (8, 1)).astype(np.float32),
+        })
+        out = ev(state.params, state.batch_stats, batch)
+        assert out["err_q"].shape == (8,)
+        assert np.isfinite(np.asarray(out["err_q"])).all()
