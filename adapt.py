@@ -50,7 +50,7 @@ def main(cfg=None):
     writer = SummaryWriter(cfg.logdir)
     save_cfg(cfg, cfg.savedir)
 
-    mesh = make_mesh(cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices, cfg.batch_size)
     sharding = batch_sharding(mesh)
 
     model = get_model(cfg)  # RevGrad

@@ -76,19 +76,40 @@ class DataLoader:
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    samples = list(pool.map(
-                        lambda i: self.dataset.__getitem__(int(i), epoch=epoch),
-                        idxs))
-                    batch = self._device_put(_stack(samples))
-                    out_q.put(batch)
-            out_q.put(None)
+            # Any exception must still enqueue the sentinel, or the consumer
+            # blocks on out_q.get() forever; the error re-raises on the
+            # consumer side.
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        samples = list(pool.map(
+                            lambda i: self.dataset.__getitem__(int(i), epoch=epoch),
+                            idxs))
+                        n_valid = len(samples)
+                        if not self.drop_last:
+                            # Pad the tail batch to full size (repeat the
+                            # first sample) so shapes stay static for jit and
+                            # divisible for the DP mesh; 'valid' masks the
+                            # padding out of metrics.
+                            while len(samples) < self.batch_size:
+                                samples.append(samples[0])
+                        batch = _stack(samples)
+                        if not self.drop_last:
+                            mask = np.zeros((self.batch_size,), np.float32)
+                            mask[:n_valid] = 1.0
+                            batch["valid"] = mask
+                        batch = self._device_put(batch)
+                        out_q.put(batch)
+            except BaseException as e:  # noqa: BLE001
+                error.append(e)
+            finally:
+                out_q.put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -98,6 +119,8 @@ class DataLoader:
                 if batch is None:
                     break
                 yield batch
+            if error:
+                raise error[0]
         finally:
             stop.set()
             # Drain so the producer thread can exit.

@@ -98,6 +98,10 @@ def run_validation(epoch, cfg, eval_step, params, batch_stats, loader, writer):
     for idx, batch in enumerate(loader):
         out = eval_step(params, batch_stats, batch)
         out = jax.device_get(out)
+        # Trim loader padding (partial tail batches are padded + masked).
+        if "valid" in batch:
+            keep = np.asarray(jax.device_get(batch["valid"])) > 0.5
+            out = {k: v[keep] for k, v in out.items()}
         B = out["err_q"].shape[0]
 
         err_q_all.extend(out["err_q"].tolist())

@@ -124,6 +124,66 @@ def convert_bvlc_alexnet(weights_dict: Dict[str, Any], spn_params):
     return out
 
 
+def _replace_subtree(tree, path, value):
+    """Immutable nested-dict update: tree[path[0]][path[1]]... = value."""
+    if not path:
+        return value
+    out = dict(tree)
+    out[path[0]] = _replace_subtree(out.get(path[0], {}), path[1:], value)
+    return out
+
+
+def maybe_load_pretrained(cfg, state, assets_dir: str):
+    """Load converted pretrained weights into a fresh TrainState when the
+    assets exist (no-op otherwise).
+
+    KRN/RevGrad: ``mobilenetv2_backbone.msgpack`` -> the ``base`` subtree
+    (path ``net/base`` under DANN). SPN: ``bvlc_alexnet.npy`` -> conv1-5.
+    """
+    import logging
+    import os.path as osp
+
+    from flax import serialization
+
+    logger = logging.getLogger(__name__)
+
+    if cfg.model_name == "krn":
+        ckpt = osp.join(assets_dir, "mobilenetv2_backbone.msgpack")
+        if not osp.exists(ckpt):
+            return state
+        with open(ckpt, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        path = ("net", "base") if cfg.dann else ("base",)
+
+        def get(tree, p):
+            for k in p:
+                tree = tree[k]
+            return tree
+
+        new_params = _replace_subtree(
+            state.params, path,
+            serialization.from_state_dict(get(state.params, path),
+                                          raw["params"]))
+        new_stats = _replace_subtree(
+            state.batch_stats, path,
+            serialization.from_state_dict(get(state.batch_stats, path),
+                                          raw["batch_stats"]))
+        logger.info("MobileNetV2 ImageNet backbone loaded from %s", ckpt)
+        return state.replace(params=new_params, batch_stats=new_stats)
+
+    if cfg.model_name == "spn":
+        bvlc = osp.join(assets_dir, "bvlc_alexnet.npy")
+        if not osp.exists(bvlc):
+            return state
+        weights = np.load(bvlc, allow_pickle=True, encoding="bytes").item()
+        weights = {k.decode() if isinstance(k, bytes) else k: v
+                   for k, v in weights.items()}
+        logger.info("bvlc_alexnet conv1-5 loaded from %s", bvlc)
+        return state.replace(params=convert_bvlc_alexnet(weights, state.params))
+
+    return state
+
+
 _GHIASI_TORCH_LAYERS = {
     # layer index -> (kind) for mapping torch module names
     0: "convinrelu", 1: "convinrelu", 2: "convinrelu",

@@ -32,9 +32,16 @@ def maybe_initialize_distributed() -> None:
         jax.distributed.initialize()
 
 
-def make_mesh(num_devices: int = 0) -> Mesh:
+def make_mesh(num_devices: int = 0, batch_size: int = 0) -> Mesh:
+    """1-axis data mesh. With ``batch_size``, clamps the device count to the
+    largest divisor of the batch so sharding stays exact (a global batch of 4
+    cannot shard over 8 chips)."""
     devices = jax.devices()
     n = num_devices if num_devices > 0 else len(devices)
+    n = min(n, len(devices))
+    if batch_size > 0:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
     return Mesh(np.asarray(devices[:n]), ("data",))
 
 

@@ -35,7 +35,7 @@ def main(cfg=None):
     os.makedirs(cfg.logdir, exist_ok=True)
     logger.info("Random seed value: %d", cfg.seed)
 
-    mesh = make_mesh(cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices, cfg.batch_size)
     sharding = batch_sharding(mesh)
 
     model = get_model(cfg)

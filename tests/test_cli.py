@@ -1,0 +1,119 @@
+"""CLI end-to-end tests: preprocess -> train -> test -> adapt on fake data.
+
+Exercises the actual repo-root entry points (reference README.md workflow)
+with tiny shapes/epochs, in-process (subprocesses would pay jax import +
+compile again).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speedplusbaseline_tpu.data import generate_fake_speedplus
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("cli"))
+    generate_fake_speedplus(tmp, num_train=8, num_test=4)
+    import preprocess
+
+    for model in ("krn", "spn"):
+        for domain, jsonfile, csv in [
+            ("synthetic", "train.json", f"splits_{model}/train.csv"),
+            ("lightbox", "test.json", f"splits_{model}/lightbox.csv"),
+        ]:
+            preprocess.main(["--dataroot", tmp, "--domain", domain,
+                             "--jsonfile", jsonfile, "--csvfile", csv,
+                             "--model_name", model])
+    return tmp
+
+
+def cli_args(workdir, savedir, logdir, **extra):
+    args = [
+        "--dataroot", workdir,
+        "--savedir", os.path.join(workdir, savedir),
+        "--logdir", os.path.join(workdir, logdir),
+        "--input_shape", "64", "64",
+        "--batch_size", "4",
+        "--max_epochs", "1",
+        "--num_workers", "2",
+        "--test_csv", "lightbox.csv",
+        "--eval_batch_size", "4",
+    ]
+    for k, v in extra.items():
+        args += [f"--{k}"] + ([] if v is None else [str(v)])
+    return args
+
+
+class TestPreprocessCLI:
+    def test_csvs_exist(self, workdir):
+        # CSVs are produced by the module fixture through preprocess.main
+        assert os.path.exists(os.path.join(
+            workdir, "speedplus/synthetic/splits_krn/train.csv"))
+        assert os.path.exists(os.path.join(
+            workdir, "speedplus/lightbox/splits_spn/lightbox.csv"))
+
+
+class TestTrainCLI:
+    def test_train_krn_one_epoch(self, workdir):
+        import train
+        from speedplusbaseline_tpu.config import parse_cfg
+
+        cfg = parse_cfg(cli_args(workdir, "save_krn", "log_krn",
+                                 test_epoch="1"))
+        train.main(cfg)
+        assert os.path.exists(os.path.join(workdir, "save_krn",
+                                           "checkpoint.msgpack"))
+        assert os.path.exists(os.path.join(workdir, "save_krn", "config.txt"))
+        # per-image dumps from the epoch-1 validation
+        for f in ("err_q.txt", "err_t.txt", "speed_raw.txt", "speed_mod.txt"):
+            assert os.path.exists(os.path.join(workdir, "log_krn", f))
+        with open(os.path.join(workdir, "log_krn", "scalars.jsonl")) as f:
+            tags = {json.loads(line)["tag"] for line in f}
+        assert {"train/loss_x", "train/loss_y", "Valid/err_q [deg]"} <= tags
+
+    def test_auto_resume_continues(self, workdir):
+        import train
+        from speedplusbaseline_tpu.config import parse_cfg
+
+        cfg = parse_cfg(cli_args(workdir, "save_krn", "log_krn",
+                                 max_epochs="2"))
+        train.main(cfg)  # resumes from epoch 1, runs epoch 2
+        from speedplusbaseline_tpu.io_utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(os.path.join(workdir, "save_krn",
+                                            "checkpoint.msgpack"))
+        assert int(ckpt["epoch"]) == 2
+
+
+class TestTestCLI:
+    def test_eval_pretrained(self, workdir):
+        import test as test_cli
+        from speedplusbaseline_tpu.config import parse_cfg
+
+        cfg = parse_cfg(cli_args(workdir, "save_krn", "log_eval",
+                                 resultfn="results.txt",
+                                 pretrained=os.path.join(
+                                     workdir, "save_krn", "model_best.msgpack")))
+        test_cli.main(cfg)
+        results = os.path.join(workdir, "log_eval", "results.txt")
+        assert os.path.exists(results)
+        content = open(results).read()
+        assert "eR:" in content and "eT:" in content and "speed (raw):" in content
+
+
+class TestAdaptCLI:
+    def test_dann_one_epoch(self, workdir):
+        import adapt
+        from speedplusbaseline_tpu.config import parse_cfg
+
+        cfg = parse_cfg(cli_args(workdir, "save_dann", "log_dann",
+                                 perform_dann=None))
+        adapt.main(cfg)
+        assert os.path.exists(os.path.join(workdir, "save_dann",
+                                           "checkpoint.msgpack"))
+        with open(os.path.join(workdir, "log_dann", "scalars.jsonl")) as f:
+            tags = {json.loads(line)["tag"] for line in f}
+        assert {"train/loss_pose", "train/loss_source", "train/loss_target"} <= tags

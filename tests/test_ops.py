@@ -1,0 +1,61 @@
+"""ops/ tests: instance-norm+FiLM parity vs torch, Pallas kernel vs XLA."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speedplusbaseline_tpu.models.ghiasi import reflect_pad, upsample_nearest
+from speedplusbaseline_tpu.ops.instancenorm import instance_norm_film
+from speedplusbaseline_tpu.ops.pallas_instancenorm import instance_norm_film_pallas
+
+
+class TestInstanceNormFilm:
+    def test_matches_torch_instancenorm(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.randn(2, 9, 7, 16).astype(np.float32)
+        ours = np.asarray(instance_norm_film(jnp.asarray(x)))
+        t = torch.nn.InstanceNorm2d(16)  # affine=False, eps=1e-5
+        ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_film_scale_shift(self, rng):
+        x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+        b = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+        base = instance_norm_film(x)
+        out = instance_norm_film(x, g, b)
+        ref = np.asarray(base) * np.asarray(g)[:, None, None, :] + \
+            np.asarray(b)[:, None, None, :]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_pallas_kernel_matches_xla(self, rng):
+        x = jnp.asarray(rng.randn(3, 12, 12, 32).astype(np.float32))
+        g = jnp.asarray(rng.randn(3, 32).astype(np.float32))
+        b = jnp.asarray(rng.randn(3, 32).astype(np.float32))
+        ref = instance_norm_film(x, g, b)
+        out = instance_norm_film_pallas(x, g, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_relu_fusion(self, rng):
+        x = jnp.asarray(rng.randn(1, 8, 8, 8).astype(np.float32))
+        out = instance_norm_film_pallas(x, relu=True, interpret=True)
+        assert float(out.min()) >= 0.0
+
+
+class TestGhiasiPrimitives:
+    def test_reflect_pad_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.randn(1, 6, 6, 3).astype(np.float32)
+        ours = np.asarray(reflect_pad(jnp.asarray(x), 2))
+        ref = torch.nn.ReflectionPad2d(2)(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_upsample_nearest_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.randn(1, 5, 4, 3).astype(np.float32)
+        ours = np.asarray(upsample_nearest(jnp.asarray(x), 2))
+        ref = torch.nn.Upsample(scale_factor=2)(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, atol=1e-6)

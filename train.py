@@ -63,7 +63,7 @@ def main(cfg=None):
     logger.info("Logs will be saved to %s", cfg.logdir)
     save_cfg(cfg, cfg.savedir)
 
-    mesh = make_mesh(cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices, cfg.batch_size)
     sharding = batch_sharding(mesh)
     logger.info("Device mesh: %s", mesh)
 
@@ -126,9 +126,12 @@ def main(cfg=None):
         begin_epoch = int(ckpt["epoch"])
         best_perf = begin_epoch
 
-    # Pretrained backbone conversion hook (park2019.py:107 pretrained=True):
-    # torchvision weights are not downloadable here; convert via
-    # scripts/convert_torchvision.py when available.
+    # Pretrained init (reference park2019.py:107 / spn.py:101-123): load
+    # converted weights when the assets exist (scripts/convert_*.py).
+    if begin_epoch == 0:
+        from speedplusbaseline_tpu.models.weight_convert import maybe_load_pretrained
+
+        state = maybe_load_pretrained(cfg, state, default_assets_dir())
 
     if cfg.fp16:
         logger.info("bf16 compute enabled (TPU-native mixed precision)")
