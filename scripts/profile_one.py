@@ -1,0 +1,86 @@
+"""Time ONE variant of the KRN train step on the TPU (single compile per
+process — the remote-compile tunnel is more reliable with few programs).
+
+Usage: python scripts/profile_one.py {bare|augs|ghiasi|full1|full05} [f32]
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import speedplusbaseline_tpu  # noqa: F401
+
+B, H, W = 48, 224, 224
+
+
+def main():
+    variant = sys.argv[1]
+    dtype = jnp.float32 if (len(sys.argv) > 2 and sys.argv[2] == "f32") else jnp.bfloat16
+
+    from speedplusbaseline_tpu.augment.photometric import augment_batch
+    from speedplusbaseline_tpu.augment.styleaug import StyleAugmentor, random_style_stats
+    from speedplusbaseline_tpu.config import default_cfg
+    from speedplusbaseline_tpu.engine import (
+        build_optimizer,
+        create_train_state,
+        make_krn_train_step,
+    )
+    from speedplusbaseline_tpu.models import Ghiasi, KeypointRegressionNet
+
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(B, H, W, 3).astype(np.float32))
+    keypts = jnp.asarray(rs.rand(B, 2, 11).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    if variant == "augs":
+        fn = jax.jit(lambda: augment_batch(key, images, keypts))
+    elif variant == "ghiasi":
+        gh = Ghiasi(dtype=dtype)
+        vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))
+        emb = jnp.zeros((B, 100))
+        fn = jax.jit(lambda: gh.apply(vg, images, emb))
+    else:
+        ratio = {"bare": 0.0, "full1": 1.0, "full05": 0.5}[variant]
+        cfg = default_cfg(batch_size=B, input_shape=(H, W), optimizer="adamw",
+                          randomize_texture=(ratio > 0), texture_ratio=ratio,
+                          fp16=(dtype == jnp.bfloat16))
+        model = KeypointRegressionNet(11, dtype=dtype)
+        tx = build_optimizer(cfg, 100)
+        state = create_train_state(model, tx, key, jnp.zeros((1, H, W, 3)))
+        style_aug = None
+        sp = None
+        if ratio > 0:
+            style_aug = StyleAugmentor(0.5, random_style_stats(0), dtype=dtype)
+            sp = style_aug.init_params(jax.random.PRNGKey(1), (1, H, W, 3))
+        step = make_krn_train_step(model, tx, cfg, style_aug=style_aug)
+        batch = {"image": images, "keypts": keypts}
+        holder = {"state": state}
+
+        def fn():
+            holder["state"], sm = step(holder["state"], batch, key, sp)
+            return sm
+
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    for _ in range(4):
+        out = fn()
+    jax.block_until_ready(out)
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    name = "bf16" if dtype == jnp.bfloat16 else "f32"
+    print(f"[{name}] {variant}: {dt*1e3:.2f} ms  ({B/dt:.0f} img/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

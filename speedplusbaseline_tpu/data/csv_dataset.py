@@ -24,7 +24,7 @@ from typing import Dict, Optional
 import numpy as np
 import pandas as pd
 
-from .transforms import random_crop, resize_crop
+from .transforms import crop_params, random_crop, resize_crop
 
 logger = logging.getLogger(__name__)
 
@@ -50,6 +50,18 @@ class _CSVDataset:
         self.root = osp.join(cfg.dataroot, cfg.dataname)
         self.input_shape = tuple(cfg.input_shape)
         self.seed = cfg.seed
+
+        # Native decode core: fuses JPEG decode (DCT-domain downscaled) +
+        # crop + bilinear resize in one C call — the host-side hot path.
+        self.use_native = bool(getattr(cfg, "use_native_loader", False))
+        if self.use_native:
+            from ..native import native_available
+
+            if not native_available():
+                logger.warning("native loader requested but not built "
+                               "(make -C speedplusbaseline_tpu/native); "
+                               "falling back to cv2/PIL")
+                self.use_native = False
 
         if is_train and is_source:
             csvfile = osp.join(self.root, cfg.train_domain,
@@ -87,7 +99,6 @@ class KRNDataset(_CSVDataset):
 
     def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         row, imgpath, bbox = self._row_common(index)
-        image = _imread(imgpath)
 
         if self.is_train and self.load_labels:
             keypts = np.array(row[12:12 + 2 * self.num_keypts], dtype=np.float32)
@@ -96,8 +107,23 @@ class KRNDataset(_CSVDataset):
             keypts = np.zeros((2, self.num_keypts), dtype=np.float32)
 
         rng = self.rng_for(epoch, index)
-        crop, bbox, keypts = random_crop(
-            rng, image, bbox, keypts, self.input_shape, self.is_train)
+        if self.use_native:
+            from ..native import decode_crop_resize, image_size
+
+            w, h = image_size(imgpath)
+            cxmin, cxmax, cymin, cymax = crop_params(rng, bbox, w, h,
+                                                     self.is_train)
+            crop = decode_crop_resize(
+                imgpath, (cxmin, cymin, cxmax - cxmin, cymax - cymin),
+                self.input_shape)
+            bbox = np.array([cxmin, cxmax, cymin, cymax], dtype=np.float32)
+            keypts = keypts.copy()
+            keypts[0] = (keypts[0] - cxmin) / max(cxmax - cxmin, 1)
+            keypts[1] = (keypts[1] - cymin) / max(cymax - cymin, 1)
+        else:
+            image = _imread(imgpath)
+            crop, bbox, keypts = random_crop(
+                rng, image, bbox, keypts, self.input_shape, self.is_train)
 
         if self.is_train:
             if self.load_labels:
@@ -116,8 +142,21 @@ class SPNDataset(_CSVDataset):
 
     def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         row, imgpath, bbox = self._row_common(index)
-        image = _imread(imgpath)
-        crop, bbox = resize_crop(image, bbox, self.input_shape)
+        if self.use_native:
+            from ..native import decode_crop_resize, image_size
+
+            w, h = image_size(imgpath)
+            cxmin = max(0, int(bbox[0]))
+            cxmax = min(w, int(bbox[1]))
+            cymin = max(0, int(bbox[2]))
+            cymax = min(h, int(bbox[3]))
+            crop = decode_crop_resize(
+                imgpath, (cxmin, cymin, cxmax - cxmin, cymax - cymin),
+                self.input_shape)
+            bbox = np.asarray(bbox, dtype=np.float32)  # original, like ResizeCrop
+        else:
+            image = _imread(imgpath)
+            crop, bbox = resize_crop(image, bbox, self.input_shape)
 
         if self.is_train:
             att_classes = np.array(

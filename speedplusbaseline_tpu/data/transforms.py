@@ -30,6 +30,34 @@ def _resize(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
 
 
+def crop_params(rng: np.random.Generator, bbox, img_w: int, img_h: int,
+                is_train: bool):
+    """Compute the square RoI crop box (RandomCrop semantics,
+    transforms.py:112-164) without touching pixels — lets the native loader
+    fuse decode+crop+resize in one pass.
+
+    Returns (cxmin, cxmax, cymin, cymax) ints clamped to the frame.
+    """
+    xmin, xmax, ymin, ymax = [float(v) for v in bbox]
+    w, h = xmax - xmin, ymax - ymin
+    x, y = xmin + w / 2.0, ymin + h / 2.0
+
+    roi_size = max(w, h)
+    if is_train:
+        roi_size = (1.0 + 0.5 * rng.random()) * roi_size
+        fx = 0.2 * (rng.random() * 2.0 - 1.0) * roi_size
+        fy = 0.2 * (rng.random() * 2.0 - 1.0) * roi_size
+    else:
+        roi_size = 1.2 * roi_size
+        fx = fy = 0.0
+
+    cxmin = max(0, int(x - roi_size / 2.0 + fx))
+    cxmax = min(img_w, int(x + roi_size / 2.0 + fx))
+    cymin = max(0, int(y - roi_size / 2.0 + fy))
+    cymax = min(img_h, int(y + roi_size / 2.0 + fy))
+    return cxmin, cxmax, cymin, cymax
+
+
 def random_crop(rng: np.random.Generator, image: np.ndarray, bbox, keypts,
                 out_shape: Tuple[int, int], is_train: bool):
     """Square RoI crop around the bbox (reference RandomCrop, transforms.py:112-164).
@@ -45,25 +73,8 @@ def random_crop(rng: np.random.Generator, image: np.ndarray, bbox, keypts,
     Returns:
         (crop float32 (h, w, 3) in [0,1], bbox float32 (4,), keypts float32 (2, K))
     """
-    xmin, xmax, ymin, ymax = [float(v) for v in bbox]
-    w, h = xmax - xmin, ymax - ymin
-    x, y = xmin + w / 2.0, ymin + h / 2.0
     org_h, org_w = image.shape[:2]
-
-    roi_size = max(w, h)
-    if is_train:
-        roi_size = (1.0 + 0.5 * rng.random()) * roi_size
-        fx = 0.2 * (rng.random() * 2.0 - 1.0) * roi_size
-        fy = 0.2 * (rng.random() * 2.0 - 1.0) * roi_size
-    else:
-        roi_size = 1.2 * roi_size
-        fx = fy = 0.0
-
-    cxmin = max(0, int(x - roi_size / 2.0 + fx))
-    cxmax = min(org_w, int(x + roi_size / 2.0 + fx))
-    cymin = max(0, int(y - roi_size / 2.0 + fy))
-    cymax = min(org_h, int(y + roi_size / 2.0 + fy))
-
+    cxmin, cxmax, cymin, cymax = crop_params(rng, bbox, org_w, org_h, is_train)
     new_bbox = np.array([cxmin, cxmax, cymin, cymax], dtype=np.float32)
 
     keypts = np.asarray(keypts, dtype=np.float32).copy()

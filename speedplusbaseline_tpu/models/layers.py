@@ -103,6 +103,28 @@ class RouterV2(nn.Module):
         return jnp.concatenate([x2, x1], axis=-1)
 
 
+class RouterV3(nn.Module):
+    """Upsampling router (reference park2019.py:82-97): 1x1 conv + BN +
+    LeakyReLU(0.1) on the low-res stream, bilinear 2x upsample, concat with
+    the high-res stream. Unused by KRN (kept for inventory parity). Note:
+    uses half-pixel bilinear sampling (jax.image.resize) rather than torch's
+    align_corners=True — the reference never invokes this module."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2, train: bool = True):
+        import jax
+
+        x1 = ConvBN(self.features, 1, 1,
+                    act=lambda v: nn.leaky_relu(v, negative_slope=0.1),
+                    dtype=self.dtype, name="conv")(x1, train)
+        b, h, w, c = x1.shape
+        x1 = jax.image.resize(x1, (b, 2 * h, 2 * w, c), method="bilinear")
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
 class LocalResponseNorm(nn.Module):
     """torch.nn.LocalResponseNorm parity for NHWC tensors (spn.py:63,68).
 

@@ -178,6 +178,24 @@ class TestLoader:
             np.testing.assert_array_equal(x, y)
 
 
+class TestNativeDatasetPath:
+    def test_native_dataset_close_to_python_path(self, fake_root):
+        """cfg.use_native_loader: same crop boxes (same RNG stream), nearly
+        identical pixels (decode/resample rounding)."""
+        from speedplusbaseline_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native loader not built")
+        cfg_py = make_cfg(fake_root)
+        cfg_nat = make_cfg(fake_root, use_native_loader=True)
+        ds_py = KRNDataset(cfg_py, is_train=True, is_source=True)
+        ds_nat = KRNDataset(cfg_nat, is_train=True, is_source=True)
+        a = ds_py.__getitem__(1, epoch=2)
+        b = ds_nat.__getitem__(1, epoch=2)
+        np.testing.assert_allclose(a["keypts"], b["keypts"], atol=1e-5)
+        assert np.abs(a["image"] - b["image"]).mean() < 0.02
+
+
 class TestNativeLoader:
     def test_native_matches_python_path(self, fake_root):
         from speedplusbaseline_tpu.native import (
