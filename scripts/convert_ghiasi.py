@@ -10,6 +10,11 @@ Run: python scripts/convert_ghiasi.py --src checkpoint_transformer.pth
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -5,6 +5,11 @@ Usage: python scripts/profile_one.py {bare|augs|ghiasi|full1|full05} [f32]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
@@ -36,7 +41,53 @@ def main():
     keypts = jnp.asarray(rs.rand(B, 2, 11).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
-    if variant == "augs":
+    if variant in ("ghiasi_padconcat", "ghiasi_padgather"):
+        import speedplusbaseline_tpu.models.ghiasi as gmod
+        if variant == "ghiasi_padconcat":
+            def rp(x, pad):
+                if pad == 0:
+                    return x
+                x = jnp.concatenate(
+                    [x[:, pad:0:-1], x, x[:, -2:-2 - pad:-1]], axis=1)
+                x = jnp.concatenate(
+                    [x[:, :, pad:0:-1], x, x[:, :, -2:-2 - pad:-1]], axis=2)
+                return x
+        else:
+            def rp(x, pad):
+                if pad == 0:
+                    return x
+                h, w = x.shape[1], x.shape[2]
+                ih = np.concatenate([np.arange(pad, 0, -1),
+                                     np.arange(h),
+                                     np.arange(h - 2, h - 2 - pad, -1)])
+                iw = np.concatenate([np.arange(pad, 0, -1),
+                                     np.arange(w),
+                                     np.arange(w - 2, w - 2 - pad, -1)])
+                return x[:, ih][:, :, iw]
+        gmod.reflect_pad = rp
+        gh = gmod.Ghiasi(dtype=dtype)
+        vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))
+        emb = jnp.zeros((B, 100))
+        fn = jax.jit(lambda: gh.apply(vg, images, emb))
+    elif variant in ("ghiasi_nopad", "ghiasi_noin"):
+        import speedplusbaseline_tpu.models.ghiasi as gmod
+        if variant == "ghiasi_nopad":
+            gmod.reflect_pad = lambda x, pad: jnp.pad(
+                x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        else:
+            import speedplusbaseline_tpu.ops.instancenorm as inorm
+            orig = inorm.instance_norm_film
+            gmod.instance_norm_film = lambda x, g=None, b=None, **kw: x
+        gh = gmod.Ghiasi(dtype=dtype)
+        vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))
+        emb = jnp.zeros((B, 100))
+        fn = jax.jit(lambda: gh.apply(vg, images, emb))
+    elif variant == "ghiasi_pallas":
+        gh = Ghiasi(dtype=dtype, use_pallas=True)
+        vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))
+        emb = jnp.zeros((B, 100))
+        fn = jax.jit(lambda: gh.apply(vg, images, emb))
+    elif variant == "augs":
         fn = jax.jit(lambda: augment_batch(key, images, keypts))
     elif variant == "ghiasi":
         gh = Ghiasi(dtype=dtype)

@@ -2,6 +2,11 @@
 +styleaug, f32 vs bf16, and Ghiasi forward alone."""
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

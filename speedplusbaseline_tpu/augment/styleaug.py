@@ -63,13 +63,19 @@ class StyleAugmentor:
         out = aug(params, key, images)          # inside jit
     """
 
-    def __init__(self, alpha: float, stats, dtype=jnp.float32):
+    def __init__(self, alpha: float, stats, dtype=jnp.float32,
+                 use_pallas: Optional[bool] = None):
         self.alpha = float(alpha)
         A, mean, base = stats
         self.A = jnp.asarray(A)
         self.mean = jnp.asarray(mean)
         self.base = jnp.asarray(base)
-        self.ghiasi = Ghiasi(dtype=dtype)
+        if use_pallas is None:
+            # Measured on TPU v5e: XLA's native IN lowering matches the
+            # Pallas kernel (27.5 vs 29.0 ms for the 224^2 batch-48 forward),
+            # so the kernel stays opt-in.
+            use_pallas = False
+        self.ghiasi = Ghiasi(dtype=dtype, use_pallas=bool(use_pallas))
 
     def init_params(self, rng, image_shape=(1, 224, 224, 3)):
         variables = self.ghiasi.init(

@@ -25,14 +25,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def fits_vmem(h: int, w: int, c: int, budget_bytes: int = 4 * 2**20) -> bool:
+    """Whether one sample's (H*W, C) slab fits VMEM for the single-pass
+    kernel (double-buffered bf16 in/out + one f32 temporary), and the channel
+    count is wide enough to use the lanes. 224^2 x 32 slabs (Ghiasi layers
+    0/9) do NOT fit — those fall back to the XLA lowering."""
+    return c >= 16 and h * w * c * 8 <= budget_bytes
+
+
 def _inf_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float, relu: bool):
-    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    # Sum/sum-of-squares form: no centered f32 copy of the slab is needed,
+    # only per-channel vectors — keeps the VMEM footprint ~2 slabs.
+    x = x_ref[0]  # (HW, C), input dtype
     n = x.shape[0]
-    mean = jnp.sum(x, axis=0, keepdims=True) / n
-    xc = x - mean
-    var = jnp.sum(xc * xc, axis=0, keepdims=True) / n
-    y = xc * jax.lax.rsqrt(var + eps)
-    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=0, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    scale = jax.lax.rsqrt(var + eps) * g_ref[0].astype(jnp.float32)
+    shift = b_ref[0].astype(jnp.float32) - mean * scale
+    y = xf * scale + shift
     if relu:
         y = jnp.maximum(y, 0.0)
     o_ref[0] = y.astype(o_ref.dtype)
