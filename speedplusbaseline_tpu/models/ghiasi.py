@@ -41,6 +41,7 @@ class ConvInRelu(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -52,7 +53,8 @@ class ConvInRelu(nn.Module):
             from ..ops.pallas_instancenorm import fits_vmem, instance_norm_film_pallas
 
             if fits_vmem(x.shape[1], x.shape[2], x.shape[3]):
-                return instance_norm_film_pallas(x, relu=True)
+                return instance_norm_film_pallas(
+                    x, relu=True, interpret=self.pallas_interpret)
         x = instance_norm_film(x)  # no FiLM -> plain instance norm
         return nn.relu(x)
 
@@ -67,6 +69,7 @@ class UpsampleConvInRelu(nn.Module):
     use_relu: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, style):
@@ -84,20 +87,42 @@ class UpsampleConvInRelu(nn.Module):
             from ..ops.pallas_instancenorm import fits_vmem, instance_norm_film_pallas
 
             if fits_vmem(x.shape[1], x.shape[2], x.shape[3]):
-                return instance_norm_film_pallas(x, gamma, beta, relu=self.use_relu)
+                return instance_norm_film_pallas(
+                    x, gamma, beta, relu=self.use_relu,
+                    interpret=self.pallas_interpret)
         x = instance_norm_film(x, gamma, beta)
         if self.use_relu:
             x = nn.relu(x)
         return x
 
 
+class _Conv3x3Params(nn.Module):
+    """Bare 3x3 conv parameters with nn.Conv's tree layout and inits —
+    declared (not applied) so the fused Pallas residual-block kernel can
+    consume the raw kernels while checkpoints stay interchangeable with the
+    unfused path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class ResidualBlock(nn.Module):
     """Johnson-style residual block with two FiLM-conditioned convs
-    (ghiasi.py:65-103)."""
+    (ghiasi.py:65-103). With ``use_pallas`` (and a VMEM-sized slab) the whole
+    block — both convs, instance norms, FiLM, ReLU, residual add — runs as
+    ONE fused Pallas kernel (ops/pallas_resblock.py)."""
 
     features: int
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, style):
@@ -110,14 +135,20 @@ class ResidualBlock(nn.Module):
         g1, b1 = film("1")
         g2, b2 = film("2")
 
-        from ..ops.pallas_instancenorm import fits_vmem, instance_norm_film_pallas
+        h, w = x.shape[1], x.shape[2]
+        # Fused-kernel VMEM budget: ~5 f32 copies of the slab.
+        fused_ok = self.use_pallas and h * w * self.features * 4 * 5 <= 10 * 2**20
 
-        if self.use_pallas and fits_vmem(x.shape[1], x.shape[2], self.features):
-            norm1 = lambda v: instance_norm_film_pallas(v, g1, b1, relu=True)
-            norm2 = lambda v: instance_norm_film_pallas(v, g2, b2)
-        else:
-            norm1 = lambda v: nn.relu(instance_norm_film(v, g1, b1))
-            norm2 = lambda v: instance_norm_film(v, g2, b2)
+        if fused_ok:
+            from ..ops.pallas_resblock import ghiasi_resblock_pallas
+
+            w1, c1 = _Conv3x3Params(self.features, name="conv1")(x.shape[-1])
+            w2, c2 = _Conv3x3Params(self.features, name="conv2")(x.shape[-1])
+            return ghiasi_resblock_pallas(x, w1, c1, w2, c2, g1, b1, g2, b2,
+                                          interpret=self.pallas_interpret)
+
+        norm1 = lambda v: nn.relu(instance_norm_film(v, g1, b1))
+        norm2 = lambda v: instance_norm_film(v, g2, b2)
         y = reflect_pad(x, 1)
         y = nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv1")(y)
@@ -140,6 +171,7 @@ class Ghiasi(nn.Module):
 
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, styles):
@@ -147,18 +179,22 @@ class Ghiasi(nn.Module):
         x = x.astype(self.dtype)
         styles = styles.astype(jnp.float32)
         up = self.use_pallas
+        pi = self.pallas_interpret
 
-        x = ConvInRelu(32, 9, 1, dtype=self.dtype, use_pallas=up, name="layer0")(x)
-        x = ConvInRelu(64, 3, 2, dtype=self.dtype, use_pallas=up, name="layer1")(x)
-        x = ConvInRelu(128, 3, 2, dtype=self.dtype, use_pallas=up, name="layer2")(x)
+        x = ConvInRelu(32, 9, 1, dtype=self.dtype, use_pallas=up,
+                       pallas_interpret=pi, name="layer0")(x)
+        x = ConvInRelu(64, 3, 2, dtype=self.dtype, use_pallas=up,
+                       pallas_interpret=pi, name="layer1")(x)
+        x = ConvInRelu(128, 3, 2, dtype=self.dtype, use_pallas=up,
+                       pallas_interpret=pi, name="layer2")(x)
         for i in range(5):
             x = ResidualBlock(128, dtype=self.dtype, use_pallas=up,
-                              name=f"layer{3 + i}")(x, styles)
+                              pallas_interpret=pi, name=f"layer{3 + i}")(x, styles)
         x = UpsampleConvInRelu(64, 3, upsample=2, dtype=self.dtype, use_pallas=up,
-                               name="layer8")(x, styles)
+                               pallas_interpret=pi, name="layer8")(x, styles)
         x = UpsampleConvInRelu(32, 3, upsample=2, dtype=self.dtype, use_pallas=up,
-                               name="layer9")(x, styles)
+                               pallas_interpret=pi, name="layer9")(x, styles)
         x = UpsampleConvInRelu(3, 9, upsample=None, use_relu=False,
                                dtype=self.dtype, use_pallas=up,
-                               name="layer10")(x, styles)
+                               pallas_interpret=pi, name="layer10")(x, styles)
         return nn.sigmoid(x.astype(jnp.float32))
