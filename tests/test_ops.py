@@ -59,3 +59,23 @@ class TestGhiasiPrimitives:
         ref = torch.nn.Upsample(scale_factor=2)(
             torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestFusedResBlock:
+    def test_matches_xla_block(self, rng):
+        """ops/pallas_resblock vs the unfused XLA residual block."""
+        import jax
+        from speedplusbaseline_tpu.models.ghiasi import Ghiasi
+
+        key = jax.random.PRNGKey(0)
+        g0 = Ghiasi(use_pallas=False)
+        g1 = Ghiasi(use_pallas=True, pallas_interpret=True)
+        x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        st = jnp.asarray(rng.randn(2, 100).astype(np.float32))
+        v = g0.init({"params": key}, x, st)
+        # identical param trees: the fused path declares the same conv params
+        v1 = g1.init({"params": key}, x, st)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v1)
+        o0 = g0.apply(v, x, st)
+        o1 = g1.apply(v, x, st)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
