@@ -117,3 +117,42 @@ class TestAdaptCLI:
         with open(os.path.join(workdir, "log_dann", "scalars.jsonl")) as f:
             tags = {json.loads(line)["tag"] for line in f}
         assert {"train/loss_pose", "train/loss_source", "train/loss_target"} <= tags
+
+
+class TestSPNCLI:
+    def test_spn_train_and_eval(self, workdir):
+        """SPN path end-to-end: train 1 epoch (227x227, tiny class count),
+        then evaluate with the top-k + weighted-quaternion-mean + GN position
+        pipeline. Uses the full 5000-class attitude asset (the CSVs were
+        binned against it)."""
+        import test as test_cli
+        import train
+        from speedplusbaseline_tpu.config import parse_cfg
+
+        args = [
+            "--dataroot", workdir,
+            "--savedir", os.path.join(workdir, "save_spn"),
+            "--logdir", os.path.join(workdir, "log_spn"),
+            "--model_name", "spn",
+            "--input_shape", "227", "227",
+            "--batch_size", "4",
+            "--max_epochs", "1",
+            "--num_workers", "2",
+            "--test_csv", "lightbox.csv",
+            "--eval_batch_size", "4",
+            "--optimizer", "adamw",
+        ]
+        cfg = parse_cfg(args)
+        train.main(cfg)
+        assert os.path.exists(os.path.join(workdir, "save_spn",
+                                           "checkpoint.msgpack"))
+
+        cfg = parse_cfg(args + [
+            "--resultfn", "results.txt",
+            "--pretrained", os.path.join(workdir, "save_spn",
+                                         "model_best.msgpack"),
+        ])
+        cfg.logdir = os.path.join(workdir, "log_spn_eval")
+        test_cli.main(cfg)
+        content = open(os.path.join(workdir, "log_spn_eval", "results.txt")).read()
+        assert "eR:" in content and "speed (thr):" in content
