@@ -79,3 +79,20 @@ class TestFusedResBlock:
         o0 = g0.apply(v, x, st)
         o1 = g1.apply(v, x, st)
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+
+
+class TestReflectConv:
+    def test_exact_match_vs_padded_conv(self, rng):
+        import jax
+        from speedplusbaseline_tpu.models.ghiasi import reflect_pad
+        from speedplusbaseline_tpu.ops.reflect_conv import reflect_conv
+
+        for (k, C, Co, H) in [(3, 8, 16, 20), (9, 3, 32, 24)]:
+            x = jnp.asarray(rng.randn(2, H, H, C).astype(np.float32))
+            w = jnp.asarray(rng.randn(k, k, C, Co).astype(np.float32) * 0.1)
+            b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+            ref = jax.lax.conv_general_dilated(
+                reflect_pad(x, k // 2), w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+            out = reflect_conv(x, w, b)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
