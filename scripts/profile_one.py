@@ -95,7 +95,8 @@ def main():
         emb = jnp.zeros((B, 100))
         fn = jax.jit(lambda: gh.apply(vg, images, emb))
     else:
-        ratio = {"bare": 0.0, "full1": 1.0, "full05": 0.5}[variant]
+        ratio = {"bare": 0.0, "full1": 1.0, "full05": 0.5,
+                 "noaug_full1": 1.0, "bare_augs": 0.0}[variant]
         cfg = default_cfg(batch_size=B, input_shape=(H, W), optimizer="adamw",
                           randomize_texture=(ratio > 0), texture_ratio=ratio,
                           fp16=(dtype == jnp.bfloat16))
@@ -107,6 +108,13 @@ def main():
         if ratio > 0:
             style_aug = StyleAugmentor(0.5, random_style_stats(0), dtype=dtype)
             sp = style_aug.init_params(jax.random.PRNGKey(1), (1, H, W, 3))
+        if variant == "noaug_full1":
+            # disable the photometric/geometric augs inside the step
+            import speedplusbaseline_tpu.engine.steps as steps_mod
+            steps_mod.augment_sample = lambda key, img, kp, p=0.5: (img, kp)
+        if variant == "bare_augs":
+            cfg = default_cfg(batch_size=B, input_shape=(H, W),
+                              optimizer="adamw", fp16=(dtype == jnp.bfloat16))
         step = make_krn_train_step(model, tx, cfg, style_aug=style_aug)
         batch = {"image": images, "keypts": keypts}
         holder = {"state": state}
