@@ -31,11 +31,10 @@ Measured decomposition on TPU v5e (bf16, batch 48, 224^2; scripts/profile_one.py
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_IMG_PER_SEC = 450.0
 BATCH = 48
@@ -43,8 +42,45 @@ SHAPE = (224, 224)
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
 
+# This machine's TPU compiles go through a remote-compile tunnel that
+# occasionally stalls indefinitely. The top-level entry runs the actual
+# benchmark in a child process with a timeout and retries, so one stalled
+# compile doesn't swallow the whole bench run.
+_CHILD_ENV_FLAG = "SPEEDPLUS_BENCH_CHILD"
+_ATTEMPT_TIMEOUT_S = 480
+_ATTEMPTS = 3
+
 
 def main():
+    if os.environ.get(_CHILD_ENV_FLAG) != "1":
+        env = dict(os.environ, **{_CHILD_ENV_FLAG: "1"})
+        for attempt in range(_ATTEMPTS):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)], env=env,
+                    capture_output=True, text=True, timeout=_ATTEMPT_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                print(f"bench attempt {attempt + 1} stalled (remote-compile "
+                      f"tunnel); retrying", file=sys.stderr)
+                time.sleep(30)
+                continue
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            print(f"bench attempt {attempt + 1} failed:\n{out.stderr[-2000:]}",
+                  file=sys.stderr)
+            time.sleep(30)
+        sys.exit(1)
+
+    _bench()
+
+
+def _bench():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from speedplusbaseline_tpu.augment.styleaug import (
         StyleAugmentor,
         load_style_stats,
