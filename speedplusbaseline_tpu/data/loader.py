@@ -65,9 +65,30 @@ class DataLoader:
 
     def _device_put(self, batch: Dict[str, np.ndarray]):
         if self.sharding is not None:
+            if jax.process_count() > 1:
+                # Multi-host: this process loaded only its local rows
+                # (see _local_slice); assemble the global array from
+                # process-local shards without gathering through host 0.
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self.sharding, x), batch)
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self.sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def _local_slice(self, idxs: np.ndarray) -> np.ndarray:
+        """The rows of a global batch this host is responsible for.
+
+        With P processes, the global batch of size B is sharded over the
+        'data' axis; each process feeds B/P contiguous rows (matching
+        NamedSharding's row-major device order across processes).
+        """
+        pc = jax.process_count()
+        if pc == 1:
+            return idxs
+        per = len(idxs) // pc
+        pi = jax.process_index()
+        return idxs[pi * per:(pi + 1) * per]
 
     def __iter__(self) -> Iterator:
         order = self._index_order()
@@ -88,20 +109,22 @@ class DataLoader:
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        idxs = self._local_slice(idxs)
                         samples = list(pool.map(
                             lambda i: self.dataset.__getitem__(int(i), epoch=epoch),
                             idxs))
                         n_valid = len(samples)
+                        local_bs = self.batch_size // jax.process_count()
                         if not self.drop_last:
-                            # Pad the tail batch to full size (repeat the
-                            # first sample) so shapes stay static for jit and
-                            # divisible for the DP mesh; 'valid' masks the
-                            # padding out of metrics.
-                            while len(samples) < self.batch_size:
+                            # Pad the tail batch to full (local) size so
+                            # shapes stay static for jit and divisible for
+                            # the DP mesh; 'valid' masks the padding out of
+                            # metrics.
+                            while len(samples) < local_bs:
                                 samples.append(samples[0])
                         batch = _stack(samples)
                         if not self.drop_last:
-                            mask = np.zeros((self.batch_size,), np.float32)
+                            mask = np.zeros((local_bs,), np.float32)
                             mask[:n_valid] = 1.0
                             batch["valid"] = mask
                         batch = self._device_put(batch)

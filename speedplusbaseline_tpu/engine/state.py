@@ -3,7 +3,7 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
+
 import jax.numpy as jnp
 import optax
 from flax import struct

@@ -11,7 +11,7 @@ collectives (gradient all-reduce, global BatchNorm statistics).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

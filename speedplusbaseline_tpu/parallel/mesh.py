@@ -18,7 +18,7 @@ its host-local shard of the global batch.
 from __future__ import annotations
 
 import os
-from typing import Optional
+
 
 import jax
 import numpy as np
