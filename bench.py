@@ -25,8 +25,8 @@ Measured decomposition on TPU v5e (bf16, batch 48, 224^2; scripts/profile_one.py
   on-device augmentations   1.8 ms
   Ghiasi forward           27.6 ms  (reflect-pad ~8 ms: XLA can't fold it
                                      into convs the way zero-pad folds)
-  full step, styleaug @1.0 42.5 ms; @0.5 it alternates ~42.5/~9 per the
-  bernoulli draw -> ~28 ms average -> ~1700-1800 img/s/chip.
+  full step, styleaug @1.0 42.5 ms; @0.5 the host-side gate alternates
+  styled/plain programs -> ~26 ms average -> ~1820 img/s/chip (4.0x).
 """
 from __future__ import annotations
 
@@ -135,13 +135,19 @@ def _bench():
             data_sh),
     }
 
+    # Host-side bernoulli(texture_ratio) per batch, like the reference's
+    # trainer loop — styled and unstyled steps are separate XLA programs.
+    gate = np.random.RandomState(7)
+    draw = lambda: style_params if gate.rand() < cfg.texture_ratio else None
+
     for _ in range(WARMUP_STEPS):
         state, sm = step(state, batch, rng, style_params)
+    state, sm = step(state, batch, rng, None)  # compile the unstyled program
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for _ in range(MEASURE_STEPS):
-        state, sm = step(state, batch, rng, style_params)
+        state, sm = step(state, batch, rng, draw())
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

@@ -119,8 +119,11 @@ def main():
         batch = {"image": images, "keypts": keypts}
         holder = {"state": state}
 
+        gate = np.random.RandomState(7)
+
         def fn():
-            holder["state"], sm = step(holder["state"], batch, key, sp)
+            use_sp = sp if (ratio >= 1.0 or (sp is not None and gate.rand() < ratio)) else None
+            holder["state"], sm = step(holder["state"], batch, key, use_sp)
             return sm
 
     t0 = time.perf_counter()

@@ -50,6 +50,11 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
         n_batches = len(loader)
         iterator = loader
 
+    # Host-side per-batch style gate (reference trainer.py:68:
+    # random.random() < cfg.texture_ratio), deterministic per (seed, epoch).
+    gate_rng = np.random.Generator(np.random.Philox(
+        key=np.uint64([(cfg.seed << 20) + epoch, 0x57E1E])))
+
     start = time.time()
     for idx, batch in enumerate(iterator):
         if dann_loaders is not None:
@@ -60,7 +65,10 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
                                    np.float32(alpha))
         else:
             B = batch["image"].shape[0]
-            state, sm = train_step(state, batch, rng, style_params)
+            sp = style_params
+            if sp is not None and gate_rng.random() >= cfg.texture_ratio:
+                sp = None  # unstyled step: specialized program, no in-graph cond
+            state, sm = train_step(state, batch, rng, sp)
 
         # Loss scalars force one host sync per step, same as the reference's
         # float(loss) readback (park2019.py:159-160).

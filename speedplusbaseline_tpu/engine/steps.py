@@ -45,12 +45,15 @@ def _apply_train(model, params, batch_stats, *args, rngs=None, **kwargs):
 def make_krn_train_step(model, tx, cfg, style_aug=None):
     """KRN supervised step (trainer.py:41-112 semantics, fully fused).
 
-    Returns jitted fn(state, batch, rng, style_params) -> (state, metrics);
-    ``style_params`` is None-shaped () when style aug is disabled.
+    Returns fn(state, batch, rng, style_params) -> (state, metrics).
+    Passing ``style_params=None`` runs the plain program; passing params runs
+    the style-randomized one. The per-batch bernoulli(texture_ratio) draw
+    lives on the HOST (engine/loops.py), exactly like the reference's
+    ``random.random() < cfg.texture_ratio`` (trainer.py:68) — each outcome is
+    its own specialized XLA program with no in-graph conditional.
     """
-    texture_ratio = float(cfg.texture_ratio)
 
-    def train_step(state, batch, rng, style_params):
+    def _body(state, batch, rng, style_params, styled: bool):
         rng = jax.random.fold_in(rng, state.step)
         aug_key, style_key = jax.random.split(rng)
 
@@ -60,11 +63,9 @@ def make_krn_train_step(model, tx, cfg, style_aug=None):
         images, keypts = jax.vmap(
             functools.partial(augment_sample, p=0.5))(keys, images, keypts)
 
-        # Whole-batch bernoulli(texture_ratio) style randomization
-        # (trainer.py:68-69), frozen generator, inside the step.
-        if style_aug is not None:
-            images = style_aug.maybe_apply(style_params, style_key, images,
-                                           texture_ratio)
+        if styled:
+            images = style_aug(style_params, style_key, images).astype(
+                images.dtype)
 
         def loss_fn(params):
             (xc, yc), new_bs = _apply_train(model, params, state.batch_stats,
@@ -79,22 +80,32 @@ def make_krn_train_step(model, tx, cfg, style_aug=None):
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, sm
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    plain = jax.jit(functools.partial(_body, style_params=None, styled=False),
+                    donate_argnums=(0,))
+    styled = jax.jit(functools.partial(_body, styled=True),
+                     donate_argnums=(0,)) if style_aug is not None else None
+
+    def train_step(state, batch, rng, style_params=None):
+        if style_params is None or styled is None:
+            return plain(state, batch, rng)
+        return styled(state, batch, rng, style_params)
+
+    return train_step
 
 
 def make_spn_train_step(model, tx, cfg, style_aug=None):
     """SPN supervised step (trainer.py:114-199): soft-label CE on both heads,
-    loss_class + 10*loss_regress, clip-by-value (in tx)."""
-    texture_ratio = float(cfg.texture_ratio)
+    loss_class + 10*loss_regress, clip-by-value (in tx). Style gating is
+    host-side, as in make_krn_train_step."""
 
-    def train_step(state, batch, rng, style_params):
+    def _body(state, batch, rng, style_params, styled: bool):
         rng = jax.random.fold_in(rng, state.step)
         style_key, dropout_key = jax.random.split(rng)
 
         images = batch["image"]
-        if style_aug is not None:
-            images = style_aug.maybe_apply(style_params, style_key, images,
-                                           texture_ratio)
+        if styled:
+            images = style_aug(style_params, style_key, images).astype(
+                images.dtype)
 
         def loss_fn(params):
             (classes, weights), new_bs = _apply_train(
@@ -111,7 +122,17 @@ def make_spn_train_step(model, tx, cfg, style_aug=None):
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, sm
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    plain = jax.jit(functools.partial(_body, style_params=None, styled=False),
+                    donate_argnums=(0,))
+    styled = jax.jit(functools.partial(_body, styled=True),
+                     donate_argnums=(0,)) if style_aug is not None else None
+
+    def train_step(state, batch, rng, style_params=None):
+        if style_params is None or styled is None:
+            return plain(state, batch, rng)
+        return styled(state, batch, rng, style_params)
+
+    return train_step
 
 
 def make_dann_train_step(model, tx, cfg):
