@@ -143,13 +143,24 @@ def make_dann_train_step(model, tx, cfg):
 
     def train_step(state, source_batch, target_batch, rng, alpha):
         rng = jax.random.fold_in(rng, state.step)
-        aug_key = rng
+        src_key, tgt_key = jax.random.split(rng)
 
         src_images, keypts = source_batch["image"], source_batch["keypts"]
-        keys = jax.random.split(aug_key, src_images.shape[0])
+        keys = jax.random.split(src_key, src_images.shape[0])
         src_images, keypts = jax.vmap(
             functools.partial(augment_sample, p=0.5))(keys, src_images, keypts)
+
+        # The reference builds the unlabeled target loader with is_train=True
+        # (build.py:45-53), so the same Rotate/Flip/BC/Noise stack runs on
+        # target images too — with dummy zero keypoints, exactly like
+        # Park2019KRNDataset.py:92-98 feeds zeros through the remapping.
         tgt_images = target_batch["image"]
+        tgt_keys = jax.random.split(tgt_key, tgt_images.shape[0])
+        dummy_kp = jnp.zeros((tgt_images.shape[0], 2, keypts.shape[-1]),
+                             keypts.dtype)
+        tgt_images, _ = jax.vmap(
+            functools.partial(augment_sample, p=0.5))(tgt_keys, tgt_images,
+                                                      dummy_kp)
 
         B_src = src_images.shape[0]
         B_tgt = tgt_images.shape[0]

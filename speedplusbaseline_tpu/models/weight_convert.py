@@ -124,6 +124,32 @@ def convert_bvlc_alexnet(weights_dict: Dict[str, Any], spn_params):
     return out
 
 
+def convert_spn_torch(sd: Dict[str, Any], spn_params):
+    """Full torch SpacecraftPoseNet state_dict -> flax SPN params.
+
+    Beyond the layout transposes, fc6/fc9 consume the FLATTENED pool5 tensor:
+    torch flattens NCHW (C-major: index = c*36 + h*6 + w, reference spn.py:133)
+    while the flax model flattens NHWC (models/spn.py:62), so the input axis
+    of those two Linear weights is permuted (C,6,6) -> (6,6,C)."""
+    out = dict(spn_params)
+
+    def put(name, kernel, bias):
+        out[name] = {"kernel": np.ascontiguousarray(kernel.astype(np.float32)),
+                     "bias": np.asarray(bias, dtype=np.float32)}
+
+    for name in ["conv1", "conv2", "conv3", "conv4", "conv5"]:
+        put(name, _t_conv(sd[name + ".weight"]), sd[name + ".bias"])
+
+    for name in ["fc6", "fc9"]:
+        w = np.asarray(sd[name + ".weight"])  # (4096, 9216) over (C=256,6,6)
+        w = w.reshape(w.shape[0], 256, 6, 6).transpose(0, 2, 3, 1)
+        put(name, w.reshape(w.shape[0], -1).T, sd[name + ".bias"])
+
+    for name in ["fc7", "fc8", "fc10", "fc11"]:
+        put(name, _t_lin(sd[name + ".weight"]), sd[name + ".bias"])
+    return out
+
+
 def _replace_subtree(tree, path, value):
     """Immutable nested-dict update: tree[path[0]][path[1]]... = value."""
     if not path:

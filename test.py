@@ -47,8 +47,13 @@ def main(cfg=None):
                                jnp.zeros((1, *cfg.input_shape, 3)))
 
     # Strict checkpoint load (test.py:60-62): accepts either a bare-variables
-    # model_best.msgpack or a full checkpoint.msgpack.
-    if cfg.pretrained and osp.exists(cfg.pretrained):
+    # model_best.msgpack or a full checkpoint.msgpack. Like the reference's
+    # strict torch.load, a --pretrained path that doesn't exist is a hard
+    # failure — never silently evaluate random weights.
+    if cfg.pretrained:
+        if not osp.exists(cfg.pretrained):
+            raise FileNotFoundError(
+                f"--pretrained checkpoint not found: {cfg.pretrained}")
         from flax import serialization
 
         with open(cfg.pretrained, "rb") as f:

@@ -103,7 +103,21 @@ class TestTestCLI:
         content = open(results).read()
         assert "eR:" in content and "eT:" in content and "speed (raw):" in content
 
+    def test_missing_pretrained_is_a_hard_failure(self, workdir):
+        """Reference test.py:60-62 loads strictly; a typo'd --pretrained path
+        must raise, never silently evaluate random weights."""
+        import test as test_cli
+        from speedplusbaseline_tpu.config import parse_cfg
 
+        cfg = parse_cfg(cli_args(workdir, "save_krn", "log_eval_bad",
+                                 resultfn="results.txt",
+                                 pretrained=os.path.join(
+                                     workdir, "save_krn", "no_such.msgpack")))
+        with pytest.raises(FileNotFoundError):
+            test_cli.main(cfg)
+
+
+@pytest.mark.slow
 class TestAdaptCLI:
     def test_dann_one_epoch(self, workdir):
         import adapt
@@ -119,6 +133,7 @@ class TestAdaptCLI:
         assert {"train/loss_pose", "train/loss_source", "train/loss_target"} <= tags
 
 
+@pytest.mark.slow
 class TestSPNCLI:
     def test_spn_train_and_eval(self, workdir):
         """SPN path end-to-end: train 1 epoch (227x227, tiny class count),

@@ -151,6 +151,7 @@ class TestKRNTrainStep:
         assert np.isfinite(float(sm["loss_x"]))
 
 
+@pytest.mark.slow
 class TestSPNTrainStep:
     def test_runs_and_decreases(self, rng):
         cfg = tiny_cfg(model_name="spn", num_classes=50, input_shape=(227, 227),
@@ -177,6 +178,7 @@ class TestSPNTrainStep:
         assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 class TestDANNTrainStep:
     def test_joint_step_runs_and_learns_domains(self, rng):
         cfg = tiny_cfg(dann=True, model_name="krn", lr=1e-3, optimizer="adamw")
@@ -196,6 +198,37 @@ class TestDANNTrainStep:
         for k in ("loss_pose", "loss_source", "loss_target"):
             assert np.isfinite(aux_hist[-1][k])
         assert int(state.step) == 4
+
+    def test_target_stream_is_augmented(self, rng, monkeypatch):
+        """The reference builds the unlabeled target loader with
+        is_train=True so the Rotate/Flip/BC/Noise stack applies to target
+        images too (reference build.py:45-53, transforms.py:222-244). Spy on
+        augment_sample at trace time: both the source and the target stream
+        must route through it."""
+        from speedplusbaseline_tpu.engine import steps as steps_mod
+
+        calls = []
+        orig = steps_mod.augment_sample
+
+        def spy(key, image, keypts, p=0.5):
+            calls.append(tuple(image.shape))
+            return orig(key, image, keypts, p=p)
+
+        monkeypatch.setattr(steps_mod, "augment_sample", spy)
+
+        cfg = tiny_cfg(dann=True, model_name="krn")
+        model = RevGrad(cfg.num_keypoints)
+        tx = build_optimizer(cfg, steps_per_epoch=100)
+        key = jax.random.PRNGKey(0)
+        state = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)),
+                                   alpha=0.0)
+        step = make_dann_train_step(model, tx, cfg)
+        src = synthetic_krn_batch(rng)
+        tgt = {"image": jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))}
+        state, aux = step(state, src, tgt, key, np.float32(0.1))
+        # one vmap trace for source, one for target
+        assert len(calls) == 2, calls
+        assert np.isfinite(float(aux["loss_target"]))
 
 
 class TestCheckpointRoundtrip:
