@@ -22,6 +22,16 @@ _TOL = 5e-10
 
 
 def _initial_guess(bbox, camera_matrix):
+    """Range by similar triangles + direction through the bbox center.
+
+    DELIBERATE DEVIATION from the reference: computePositionSPN.py:55 builds
+    the direction with R_y(-az), which puts the initial x on the MIRRORED
+    side of the optical axis (a pixel right of center has x/z > 0, but
+    R_y(-az)@[0,0,r] has x = -r·sin(az)·cos(el)); the elevation half uses the
+    consistent sign. Starting Gauss-Newton in the mirrored basin makes it
+    converge to a reflected position for some lateral poses. We use R_y(+az)
+    so the init points along the true bbox-center ray (covered by
+    tests/test_spn_position.py across random lateral poses)."""
     xmin, xmax, ymin, ymax = bbox[0], bbox[1], bbox[2], bbox[3]
     width, height = xmax - xmin, ymax - ymin
     box_size = jnp.sqrt(width**2 + height**2)
@@ -32,8 +42,7 @@ def _initial_guess(bbox, camera_matrix):
     az = jnp.arctan((cx_box - cx) / fx)
     el = jnp.arctan((cy_box - cy) / fy)
     rng = fx * MAX_MODEL_LENGTH / box_size
-    # R_y(-az) @ R_x(-el) @ [0, 0, range]  (computePositionSPN.py:55-57)
-    ca, sa = jnp.cos(-az), jnp.sin(-az)
+    ca, sa = jnp.cos(az), jnp.sin(az)
     ce, se = jnp.cos(-el), jnp.sin(-el)
     Ry = jnp.array([[ca, 0.0, sa], [0.0, 1.0, 0.0], [-sa, 0.0, ca]])
     Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, ce, -se], [0.0, se, ce]])

@@ -96,21 +96,47 @@ class UpsampleConvInRelu(nn.Module):
         return x
 
 
-class _Conv3x3Params(nn.Module):
-    """Bare 3x3 conv parameters with nn.Conv's tree layout and inits —
-    declared (not applied) so the fused Pallas residual-block kernel can
-    consume the raw kernels while checkpoints stay interchangeable with the
-    unfused path."""
+class _ConvParams(nn.Module):
+    """Bare conv parameters with nn.Conv's tree layout and inits — declared
+    (not applied) so fused kernels / the phase-space path can consume the raw
+    HWIO weights while checkpoints stay interchangeable with the plain path."""
 
     features: int
+    kernel_size: int = 3
 
     @nn.compact
     def __call__(self, in_features: int):
         k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (3, 3, in_features, self.features), jnp.float32)
+                       (self.kernel_size, self.kernel_size, in_features,
+                        self.features), jnp.float32)
         b = self.param("bias", nn.initializers.zeros_init(),
                        (self.features,), jnp.float32)
         return k, b
+
+
+def _Conv3x3Params(features, name=None):
+    return _ConvParams(features, 3, name=name)
+
+
+class _PhaseLayerParams(nn.Module):
+    """Parameter container matching ConvInRelu / UpsampleConvInRelu trees
+    (Conv_0 + optional fc_gamma/fc_beta), for the phase-space pipeline."""
+
+    features: int
+    kernel_size: int
+    film: bool = False
+
+    @nn.compact
+    def __call__(self, in_features: int, style=None):
+        w, b = _ConvParams(self.features, self.kernel_size,
+                           name="Conv_0")(in_features)
+        if not self.film:
+            return w, b, None, None
+        gamma = nn.Dense(self.features, param_dtype=jnp.float32,
+                         dtype=jnp.float32, name="fc_gamma")(style)
+        beta = nn.Dense(self.features, param_dtype=jnp.float32,
+                        dtype=jnp.float32, name="fc_beta")(style)
+        return w, b, gamma, beta
 
 
 class ResidualBlock(nn.Module):
@@ -163,6 +189,15 @@ class ResidualBlock(nn.Module):
 class Ghiasi(nn.Module):
     """Full generator (ghiasi.py:106-136): sigmoid(conv_stack(x, style)).
 
+    ``tpu_opt`` routes the full-resolution layers through the phase-space
+    (space-to-depth) rewrites in ops/phase_conv.py: every conv runs at half
+    resolution with 4x channels, reflect pads happen in phase space, and the
+    nearest-upsamples fold into 2x2 subpixel convs (2.25x fewer FLOPs). The
+    network never materializes a full-resolution intermediate — the s2d of
+    one layer cancels the d2s of the previous. Numerically identical to the
+    plain path (tests/test_phase_conv.py, test_models.py) and checkpoint-
+    compatible (same parameter tree).
+
     ``use_pallas`` routes every InstanceNorm+FiLM(+ReLU) through the fused
     Pallas TPU kernel (ops/pallas_instancenorm.py) — one HBM read+write per
     normalization instead of separate reduce/apply passes. TPU-only; the XLA
@@ -172,12 +207,15 @@ class Ghiasi(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    tpu_opt: bool = False
 
     @nn.compact
     def __call__(self, x, styles):
         """x: (B, H, W, 3) in [0,1]; styles: (B, 100). H, W divisible by 4."""
         x = x.astype(self.dtype)
         styles = styles.astype(jnp.float32)
+        if self.tpu_opt:
+            return self._phase_forward(x, styles)
         up = self.use_pallas
         pi = self.pallas_interpret
 
@@ -198,3 +236,61 @@ class Ghiasi(nn.Module):
                                dtype=self.dtype, use_pallas=up,
                                pallas_interpret=pi, name="layer10")(x, styles)
         return nn.sigmoid(x.astype(jnp.float32))
+
+    def _phase_forward(self, x, styles):
+        """Space-to-depth pipeline (see class docstring). Parameter trees are
+        declared through _PhaseLayerParams so checkpoints interchange with
+        the plain path."""
+        from ..ops.phase_conv import (
+            conv3x3_s2_phase,
+            conv9x9_phase,
+            depth_to_space2,
+            phase_instance_norm,
+            space_to_depth2,
+            upconv3x3_phase,
+        )
+
+        B = x.shape[0]
+
+        # layer0: 9x9 3->32 @ full res -> phase output (B, H/2, W/2, 4*32)
+        w, b, _, _ = _PhaseLayerParams(32, 9, name="layer0")(3)
+        a = conv9x9_phase(space_to_depth2(x), w, b)
+        a = nn.relu(phase_instance_norm(a)).astype(self.dtype)
+
+        # layer1: 3x3 s2 32->64; its s2d input IS layer0's phase output
+        w, b, _, _ = _PhaseLayerParams(64, 3, name="layer1")(32)
+        y = conv3x3_s2_phase(a, w, b)
+        y = nn.relu(instance_norm_film(y)).astype(self.dtype)
+
+        # layer2: 3x3 s2 64->128 @ 112 -> 56
+        w, b, _, _ = _PhaseLayerParams(128, 3, name="layer2")(64)
+        y = conv3x3_s2_phase(space_to_depth2(y), w, b)
+        y = nn.relu(instance_norm_film(y)).astype(self.dtype)
+
+        # residual blocks, unchanged (56^2 x 128 is already MXU-friendly)
+        for i in range(5):
+            y = ResidualBlock(128, dtype=self.dtype,
+                              name=f"layer{3 + i}")(y, styles)
+
+        # layer8: up2 + 3x3 128->64 as subpixel conv, IN+FiLM on phases
+        w, b, g, be = _PhaseLayerParams(64, 3, film=True,
+                                        name="layer8")(128, styles)
+        z = upconv3x3_phase(y, w, b)  # (B, 56, 56, 4, 64)
+        z = nn.relu(phase_instance_norm(z, g, be, phase_axis=3))
+        h, wd, o = z.shape[1], z.shape[2], z.shape[4]
+        y = depth_to_space2(z.reshape(B, h, wd, 4 * o)).astype(self.dtype)
+
+        # layer9: up2 + 3x3 64->32; its phase output IS layer10's s2d input
+        w, b, g, be = _PhaseLayerParams(32, 3, film=True,
+                                        name="layer9")(64, styles)
+        z = upconv3x3_phase(y, w, b)  # (B, 112, 112, 4, 32)
+        z = nn.relu(phase_instance_norm(z, g, be, phase_axis=3))
+        h, wd, o = z.shape[1], z.shape[2], z.shape[4]
+        a = z.reshape(B, h, wd, 4 * o).astype(self.dtype)  # = s2d(out9)
+
+        # layer10: 9x9 32->3 + IN + FiLM (no relu) in phase space
+        w, b, g, be = _PhaseLayerParams(3, 9, film=True,
+                                        name="layer10")(32, styles)
+        z = conv9x9_phase(a, w, b)  # (B, 112, 112, 12)
+        z = phase_instance_norm(z, g, be)
+        return nn.sigmoid(depth_to_space2(z).astype(jnp.float32))

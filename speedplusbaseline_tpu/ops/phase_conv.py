@@ -1,0 +1,271 @@
+"""Phase-space (space-to-depth) convolutions for the Ghiasi transformer.
+
+The reference generator (ghiasi.py:106-136) spends most of its TPU time in
+full-resolution layers whose convs have tiny channel counts (3->32 9x9,
+64->32 3x3 after nearest-up2, 32->3 9x9): measured on v5e at batch 48/224^2
+they run at 2-5% MXU and are dominated by relayouts (reflect pads, upsample
+broadcasts) over ~150 MB full-res slabs.
+
+These are exact algebraic rewrites that move every conv to half resolution
+with 4x the channels (space_to_depth phases), where the MXU is fed properly
+and no full-resolution intermediate is ever materialized:
+
+  * stride-2 3x3 conv + reflect-pad-1      == 2x2 conv on s2d(x) phases
+  * nearest-up2 + reflect-pad-1 + 3x3 conv == 2x2 conv producing 4 output
+    phases (subpixel / transposed-conv identity), 2.25x fewer FLOPs
+  * stride-1 9x9 conv + reflect-pad-4      == 5x5 conv on s2d phases with
+    phase-structured kernels, for both input and output phases
+
+Reflect padding is performed IN PHASE SPACE: a reflect-pad of the full-res
+image maps to per-phase edge/reflect/symmetric pads of the s2d blocks (the
+parity of the mirrored index decides which phase supplies the pad row), so
+the full-res pad pass disappears entirely.
+
+Channel packing convention: s2d block (py, px) of channel c lives at channel
+(py*2 + px)*C + c — identical on the input side (s2d) and output side (d2s),
+so consecutive phase layers chain with zero relayout (the d2s of one layer
+cancels the s2d of the next).
+
+All functions are pure jnp (differentiable, jit/vmap-safe); equivalence with
+the plain reflect_pad+conv+upsample path is covered by
+tests/test_phase_conv.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (py*2+px)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h2, w2, py, px, c)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(x):
+    """Inverse of space_to_depth2: (B, h, w, 4C) -> (B, 2h, 2w, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (b, h, py, w, px, c)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _conv(x, w):
+    """VALID NHWC conv in the input dtype (the TPU MXU accumulates in f32
+    internally; keeping bf16 outputs halves the HBM write traffic)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stride-2 3x3 conv (Ghiasi layer1/layer2): reflect-pad-1 + VALID 3x3 s2
+# ---------------------------------------------------------------------------
+
+def phase_weights_s2(w):
+    """(3,3,C,O) -> (2,2,4C,O) for the 2x2 conv over s2d phases.
+
+    Kernel slot (kh, py) covers original tap dy = 2*kh + py (dy=3 is zero).
+    """
+    k, _, c, o = w.shape
+    assert k == 3
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (4,4,C,O), zero tail
+    wp = wp.reshape(2, 2, 2, 2, c, o)  # (kh, py, kw, px, C, O)
+    wp = wp.transpose(0, 2, 1, 3, 4, 5)  # (kh, kw, py, px, C, O)
+    return wp.reshape(2, 2, 4 * c, o)
+
+
+def phase_pad_s2(x4):
+    """s2d-domain equivalent of reflect-pad-1 before a stride-2 3x3 conv.
+
+    Only the top/left pads are ever read by the VALID 2x2 conv; block
+    (py, px) of the padded tensor at (m, n) holds x(2m+py-1, 2n+px-1), which
+    is an edge-padded shift of block (1-py, 1-px)-ish of x4 — concretely the
+    reflect x(-1) = x(1) lands on an "edge" pad of the odd-phase block.
+    Output: (B, h+1, w+1, 4C).
+    """
+    b, h, w, c4 = x4.shape
+    c = c4 // 4
+    P = [x4[..., i * c:(i + 1) * c] for i in range(4)]  # (py*2+px)
+
+    def pad(block, top, left):
+        # top/left shift with edge fill; unused bottom/right rows are filled
+        # with edge values (their kernel taps are zero).
+        cfg = ((0, 0), (1, 0) if top else (0, 1), (1, 0) if left else (0, 1),
+               (0, 0))
+        return jnp.pad(block, cfg, mode="edge")
+
+    out = [
+        pad(P[3], True, True),    # (py=0, px=0) <- x(2m-1, 2n-1) = P11
+        pad(P[2], True, False),   # (py=0, px=1) <- x(2m-1, 2n)   = P10
+        pad(P[1], False, True),   # (py=1, px=0) <- x(2m,   2n-1) = P01
+        pad(P[0], False, False),  # (py=1, px=1) <- x(2m,   2n)   = P00
+    ]
+    return jnp.concatenate(out, axis=-1)
+
+
+def conv3x3_s2_phase(x4, w, b=None):
+    """Reflect-pad-1 + 3x3 stride-2 conv, computed on the s2d phase tensor.
+
+    x4: (B, h, w, 4C) = space_to_depth2 of the (B, 2h, 2w, C) input.
+    Returns (B, h, w, O) — the layer's natural output resolution.
+    """
+    y = _conv(phase_pad_s2(x4), phase_weights_s2(w))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# nearest-up2 + reflect-pad-1 + 3x3 conv (Ghiasi layer8/layer9)
+# ---------------------------------------------------------------------------
+
+# M[p, kh, dy]: which original taps dy sum into kernel slot kh for output
+# phase p. Derived from: out row 2i+p reads up-rows {2i+p-1, 2i+p, 2i+p+1},
+# and nearest-up row r = x[r//2] with reflect-pad on the UPSAMPLED image
+# (u[-1] = u[1] = x[0], u[2H] = u[2H-2] = x[H-1] — i.e. replicate on x).
+_M_UP = jnp.asarray([
+    [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],  # p=0: kh0 <- w0;    kh1 <- w1+w2
+    [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]],  # p=1: kh0 <- w0+w1; kh1 <- w2
+])
+
+
+def phase_weights_up(w):
+    """(3,3,C,O) -> (2,2,C,4O): 2x2 kernels producing the 4 output phases
+    (phase channel order (p*2+q)*O + o)."""
+    k, _, c, o = w.shape
+    assert k == 3
+    # (p, kh, dy) x (q, kw, dx) x (dy, dx, C, O) -> (kh, kw, C, p, q, O)
+    t = jnp.einsum("akd,ble,deco->klcabo", _M_UP, _M_UP, w)
+    return t.reshape(2, 2, c, 4 * o)
+
+
+def upconv3x3_phase(x, w, b=None):
+    """nearest-up2 + reflect-pad-1 + VALID 3x3 conv, without materializing
+    the upsampled image.
+
+    x: (B, h, w, C). Returns z: (B, h, w, 4, O) where
+    out(2i+p, 2j+q, o) = z[i, j, p*2+q, o] (apply depth_to_space2 on the
+    reshaped (B, h, w, 4O) to get the full-res image).
+    """
+    bsz, h, w_, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = _conv(xp, phase_weights_up(w))  # (B, h+1, w+1, 4O)
+    o = y.shape[-1] // 4
+    # Output phase (p, q) is the window of y shifted by (p, q).
+    z = jnp.stack([
+        y[:, 0:h, 0:w_, 0 * o:1 * o],
+        y[:, 0:h, 1:w_ + 1, 1 * o:2 * o],
+        y[:, 1:h + 1, 0:w_, 2 * o:3 * o],
+        y[:, 1:h + 1, 1:w_ + 1, 3 * o:4 * o],
+    ], axis=3)  # (B, h, w, 4, O)
+    if b is not None:
+        z = z + b.astype(z.dtype)
+    return z
+
+
+# ---------------------------------------------------------------------------
+# stride-1 9x9 conv (Ghiasi layer0/layer10): reflect-pad-4 + VALID 9x9
+# ---------------------------------------------------------------------------
+
+def phase_weights_9x9(w):
+    """(9,9,C,O) -> (5,5,4C,4O): 5x5 conv over input phases producing the 4
+    output phases. Slot (kh, py) for output phase p covers tap
+    dy = 2*kh + py - p (out of [0,8] -> zero)."""
+    k, _, c, o = w.shape
+    assert k == 9
+
+    def rows(p):
+        # pad so index 2*kh+py hits w[2*kh+py-p]
+        return jnp.pad(w, ((p, 1 - p), (0, 0), (0, 0), (0, 0)))  # (10,9,C,O)
+
+    # (p, dyp, kw', C, O) with dyp = 2*kh+py
+    wr = jnp.stack([rows(0), rows(1)])  # (2, 10, 9, C, O)
+    wr = wr.reshape(2, 5, 2, 9, c, o)   # (p, kh, py, dx, C, O)
+
+    def cols(q):
+        return jnp.pad(wr, ((0, 0), (0, 0), (0, 0), (q, 1 - q), (0, 0),
+                            (0, 0)))
+
+    wc = jnp.stack([cols(0), cols(1)])       # (q, p, kh, py, 10, C, O)
+    wc = wc.reshape(2, 2, 5, 2, 5, 2, c, o)  # (q, p, kh, py, kw, px, C, O)
+    # -> (kh, kw, py, px, C, p, q, O)
+    wc = wc.transpose(2, 4, 3, 5, 6, 1, 0, 7)
+    return wc.reshape(5, 5, 4 * c, 4 * o)
+
+
+def phase_pad_9x9(x4):
+    """s2d-domain reflect-pad-4: (B, h, w, 4C) -> (B, h+4, w+4, 4C).
+
+    A full-res reflect-pad-4 keeps row parity (offset 4 is even), so each
+    phase block pads independently by 2 — but the mirror x(-a) flips which
+    row of the SAME phase supplies the pad: even phases reflect around row 0
+    (numpy 'reflect'), odd phases around the half-sample (numpy 'symmetric'),
+    and the two swap roles at the bottom edge.
+    """
+    b, h, w, c4 = x4.shape
+    c = c4 // 4
+    out = []
+    for i in range(4):
+        py, px = divmod(i, 2)
+        blk = x4[..., i * c:(i + 1) * c]
+        row_mode_top = "reflect" if py == 0 else "symmetric"
+        row_mode_bot = "symmetric" if py == 0 else "reflect"
+        col_mode_left = "reflect" if px == 0 else "symmetric"
+        col_mode_right = "symmetric" if px == 0 else "reflect"
+        blk = jnp.concatenate([
+            jnp.pad(blk, ((0, 0), (2, 0), (0, 0), (0, 0)), mode=row_mode_top)[:, :2],
+            blk,
+            jnp.pad(blk, ((0, 0), (0, 2), (0, 0), (0, 0)), mode=row_mode_bot)[:, -2:],
+        ], axis=1)
+        blk = jnp.concatenate([
+            jnp.pad(blk, ((0, 0), (0, 0), (2, 0), (0, 0)), mode=col_mode_left)[:, :, :2],
+            blk,
+            jnp.pad(blk, ((0, 0), (0, 0), (0, 2), (0, 0)), mode=col_mode_right)[:, :, -2:],
+        ], axis=2)
+        out.append(blk)
+    return jnp.concatenate(out, axis=-1)
+
+
+def conv9x9_phase(x4, w, b=None):
+    """Reflect-pad-4 + 9x9 stride-1 conv in phase space.
+
+    x4: (B, h, w, 4C) s2d input. Returns (B, h, w, 4O) phase output
+    (depth_to_space2 gives the (B, 2h, 2w, O) image).
+    """
+    y = _conv(phase_pad_9x9(x4), phase_weights_9x9(w))
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 4)  # bias repeats per phase
+    return y
+
+
+def phase_instance_norm(z, gamma=None, beta=None, eps: float = 1e-5,
+                        phase_axis=None):
+    """Instance norm whose statistics pool over (H, W) AND the 4 phases —
+    exactly the full-resolution per-channel statistics.
+
+    z: (B, h, w, 4, C) (phase_axis=3, e.g. upconv3x3_phase output) or
+       (B, h, w, 4C) (phase blocks packed in channels, e.g. conv9x9_phase).
+    gamma/beta: optional (B, C) FiLM parameters.
+    """
+    packed = phase_axis is None
+    if packed:
+        b, h, w, c4 = z.shape
+        z = z.reshape(b, h, w, 4, c4 // 4)
+    orig = z.dtype
+    zf = z.astype(jnp.float32)
+    mean = jnp.mean(zf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(zf - mean), axis=(1, 2, 3), keepdims=True)
+    y = (zf - mean) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma[:, None, None, None, :].astype(jnp.float32)
+    if beta is not None:
+        y = y + beta[:, None, None, None, :].astype(jnp.float32)
+    y = y.astype(orig)
+    if packed:
+        return y.reshape(b, h, w, c4)
+    return y

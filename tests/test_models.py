@@ -198,3 +198,22 @@ class TestGhiasi:
         o1 = model.apply(v, x, s1)
         o2 = model.apply(v, x, s2)
         assert float(jnp.abs(o1 - o2).max()) > 1e-4
+
+    def test_tpu_opt_phase_path_matches_plain(self, key, rng):
+        """The phase-space pipeline (tpu_opt=True, ops/phase_conv.py) is an
+        exact algebraic rewrite: same params, same output."""
+        plain = Ghiasi()
+        opt = Ghiasi(tpu_opt=True)
+        x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(2, 100).astype(np.float32) * 0.3)
+        v = plain.init({"params": key}, x[:1], s[:1])
+        # identical parameter tree -> checkpoint interchangeable
+        v_opt = opt.init({"params": key}, x[:1], s[:1])
+        t1 = jax.tree_util.tree_map(lambda a: a.shape, v["params"])
+        t2 = jax.tree_util.tree_map(lambda a: a.shape, v_opt["params"])
+        assert t1 == t2
+        with jax.default_matmul_precision("float32"):
+            ref = plain.apply(v, x, s)
+            out = opt.apply(v, x, s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -21,9 +21,15 @@ def tight_bbox(q, t, K, pts3d):
 
 
 class TestComputePositionSPN:
-    def test_recovers_position_given_true_attitude(self, rng, camera, tango_points):
+    def test_recovers_position_given_true_attitude(self, camera, tango_points):
         """With a perfect bbox and the true attitude, the solver must recover
-        the position nearly exactly (it is fitting 4 exact constraints)."""
+        the position nearly exactly (it is fitting 4 exact constraints).
+
+        Uses a LOCAL RandomState (the shared session rng makes pose draws
+        depend on test ordering); includes lateral poses that trip the
+        reference's mirrored R_y(-az) init (see geometry/spn_position.py
+        _initial_guess docstring)."""
+        rng = np.random.RandomState(42)
         K, _ = camera
         dist = np.zeros(5)
         for _ in range(20):
