@@ -214,7 +214,9 @@ class Ghiasi(nn.Module):
         """x: (B, H, W, 3) in [0,1]; styles: (B, 100). H, W divisible by 4."""
         x = x.astype(self.dtype)
         styles = styles.astype(jnp.float32)
-        if self.tpu_opt:
+        if self.tpu_opt and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            # Shape is static at trace time; odd sizes (e.g. SPN's 227^2)
+            # fall back to the plain lowering below.
             return self._phase_forward(x, styles)
         up = self.use_pallas
         pi = self.pallas_interpret
@@ -242,29 +244,27 @@ class Ghiasi(nn.Module):
         declared through _PhaseLayerParams so checkpoints interchange with
         the plain path."""
         from ..ops.phase_conv import (
-            conv3x3_s2_phase,
+            conv3x3_s2_phase_aligned,
             conv9x9_phase,
             depth_to_space2,
-            phase_instance_norm,
+            phase_instance_norm_packed,
             space_to_depth2,
-            upconv3x3_phase,
+            upconv3x3_phase_packed,
         )
-
-        B = x.shape[0]
 
         # layer0: 9x9 3->32 @ full res -> phase output (B, H/2, W/2, 4*32)
         w, b, _, _ = _PhaseLayerParams(32, 9, name="layer0")(3)
         a = conv9x9_phase(space_to_depth2(x), w, b)
-        a = nn.relu(phase_instance_norm(a)).astype(self.dtype)
+        a = nn.relu(phase_instance_norm_packed(a)).astype(self.dtype)
 
         # layer1: 3x3 s2 32->64; its s2d input IS layer0's phase output
         w, b, _, _ = _PhaseLayerParams(64, 3, name="layer1")(32)
-        y = conv3x3_s2_phase(a, w, b)
+        y = conv3x3_s2_phase_aligned(a, w, b)
         y = nn.relu(instance_norm_film(y)).astype(self.dtype)
 
         # layer2: 3x3 s2 64->128 @ 112 -> 56
         w, b, _, _ = _PhaseLayerParams(128, 3, name="layer2")(64)
-        y = conv3x3_s2_phase(space_to_depth2(y), w, b)
+        y = conv3x3_s2_phase_aligned(space_to_depth2(y), w, b)
         y = nn.relu(instance_norm_film(y)).astype(self.dtype)
 
         # residual blocks, unchanged (56^2 x 128 is already MXU-friendly)
@@ -272,25 +272,23 @@ class Ghiasi(nn.Module):
             y = ResidualBlock(128, dtype=self.dtype,
                               name=f"layer{3 + i}")(y, styles)
 
-        # layer8: up2 + 3x3 128->64 as subpixel conv, IN+FiLM on phases
+        # layer8: up2 + 3x3 128->64 as aligned subpixel conv (packed phase
+        # output, full-lane 4O channels, no shifted-window stack)
         w, b, g, be = _PhaseLayerParams(64, 3, film=True,
                                         name="layer8")(128, styles)
-        z = upconv3x3_phase(y, w, b)  # (B, 56, 56, 4, 64)
-        z = nn.relu(phase_instance_norm(z, g, be, phase_axis=3))
-        h, wd, o = z.shape[1], z.shape[2], z.shape[4]
-        y = depth_to_space2(z.reshape(B, h, wd, 4 * o)).astype(self.dtype)
+        z = upconv3x3_phase_packed(y, w, b)  # (B, 56, 56, 256)
+        z = nn.relu(phase_instance_norm_packed(z, g, be))
+        y = depth_to_space2(z).astype(self.dtype)  # (B, 112, 112, 64)
 
-        # layer9: up2 + 3x3 64->32; its phase output IS layer10's s2d input
+        # layer9: up2 + 3x3 64->32; its packed output IS layer10's s2d input
         w, b, g, be = _PhaseLayerParams(32, 3, film=True,
                                         name="layer9")(64, styles)
-        z = upconv3x3_phase(y, w, b)  # (B, 112, 112, 4, 32)
-        z = nn.relu(phase_instance_norm(z, g, be, phase_axis=3))
-        h, wd, o = z.shape[1], z.shape[2], z.shape[4]
-        a = z.reshape(B, h, wd, 4 * o).astype(self.dtype)  # = s2d(out9)
+        z = upconv3x3_phase_packed(y, w, b)  # (B, 112, 112, 128)
+        a = nn.relu(phase_instance_norm_packed(z, g, be)).astype(self.dtype)
 
         # layer10: 9x9 32->3 + IN + FiLM (no relu) in phase space
         w, b, g, be = _PhaseLayerParams(3, 9, film=True,
                                         name="layer10")(32, styles)
         z = conv9x9_phase(a, w, b)  # (B, 112, 112, 12)
-        z = phase_instance_norm(z, g, be)
+        z = phase_instance_norm_packed(z, g, be)
         return nn.sigmoid(depth_to_space2(z).astype(jnp.float32))

@@ -120,6 +120,32 @@ def conv3x3_s2_phase(x4, w, b=None):
     return y
 
 
+def phase_weights_s2_aligned(w):
+    """(3,3,C,O) -> (2,2,4C,O) for the single-edge-pad form: kernel slot
+    (kh, py) covers original tap dy = 2*kh + py - 1 (dy=-1 is zero — that
+    phase never contributes through the top pad row, which is what makes the
+    plain whole-tensor edge pad equivalent to the reflect boundary)."""
+    k, _, c, o = w.shape
+    assert k == 3
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (4,4,C,O), zero head
+    wp = wp.reshape(2, 2, 2, 2, c, o)  # (kh, py, kw, px, C, O)
+    wp = wp.transpose(0, 2, 1, 3, 4, 5)  # (kh, kw, py, px, C, O)
+    return wp.reshape(2, 2, 4 * c, o)
+
+
+def conv3x3_s2_phase_aligned(x4, w, b=None):
+    """conv3x3_s2_phase with ONE whole-tensor edge pad instead of the
+    4-block shifted concat (phase_pad_s2): output position m reads x4 block
+    rows {m-1, m}, so a top/left edge pad aligns every phase to the same
+    window and the reflect boundary x(-1)=x(1) lands on the pad row's odd
+    phase (the even phase's pad value is dead — its tap is zero)."""
+    xp = jnp.pad(x4, ((0, 0), (1, 0), (1, 0), (0, 0)), mode="edge")
+    y = _conv(xp, phase_weights_s2_aligned(w))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # nearest-up2 + reflect-pad-1 + 3x3 conv (Ghiasi layer8/layer9)
 # ---------------------------------------------------------------------------
@@ -166,6 +192,66 @@ def upconv3x3_phase(x, w, b=None):
     if b is not None:
         z = z + b.astype(z.dtype)
     return z
+
+
+# Aligned subpixel form: all 4 output phases share the SAME 3x3 input window
+# (per-phase zero-masked taps), so the conv emits the packed (B, h, w, 4O)
+# phase tensor directly — no shifted-window stack, full 4O-lane output.
+# M3[p, ktap, dy]: tap ktap of the aligned kernel covers original weight dy
+# for output phase p (out row 2i+p reads up rows {2i+p-1, 2i+p, 2i+p+1} =
+# x rows {i-1, i, i} for p=0 and {i, i, i+1} for p=1; edge-pad covers the
+# reflect-on-upsampled boundary, see _M_UP).
+_M3_UP = jnp.asarray([
+    [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0], [0.0, 0.0, 0.0]],  # p=0
+    [[0.0, 0.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 1.0]],  # p=1
+])
+
+
+def phase_weights_up_aligned(w):
+    """(3,3,C,O) -> (3,3,C,4O) aligned-window subpixel kernels, packed output
+    channel order (p*2+q)*O + o (matches space_to_depth2)."""
+    k, _, c, o = w.shape
+    assert k == 3
+    # (p, kh, dy) x (q, kw, dx) x (dy, dx, C, O) -> (kh, kw, C, p, q, O)
+    t = jnp.einsum("akd,ble,deco->klcabo", _M3_UP, _M3_UP, w)
+    return t.reshape(3, 3, c, 4 * o)
+
+
+def upconv3x3_phase_packed(x, w, b=None):
+    """nearest-up2 + reflect-pad-1 + VALID 3x3 conv, emitting the packed
+    phase tensor (B, h, w, 4O) = space_to_depth2 of the (B, 2h, 2w, O)
+    full-resolution output. Equivalent to upconv3x3_phase but with no
+    shifted-window stack (one conv, full-lane output)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = _conv(xp, phase_weights_up_aligned(w))
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 4)
+    return y
+
+
+def phase_instance_norm_packed(z, gamma=None, beta=None, eps: float = 1e-5):
+    """Instance norm over packed phase channels (B, h, w, 4C): statistics
+    pool over (H, W) and the 4 phases — exactly the full-resolution
+    per-channel statistics — but every full-size elementwise op stays on the
+    packed 4-D layout (no 5-D relayout); only the (B, 4C) moment vectors are
+    reshaped to combine phases."""
+    b, h, w, c4 = z.shape
+    c = c4 // 4
+    zf = z.astype(jnp.float32)
+    m1 = jnp.mean(zf, axis=(1, 2))                 # (B, 4C)
+    m2 = jnp.mean(jnp.square(zf), axis=(1, 2))     # (B, 4C)
+    mean = jnp.mean(m1.reshape(b, 4, c), axis=1)   # (B, C)
+    var = jnp.mean(m2.reshape(b, 4, c), axis=1) - jnp.square(mean)
+    scale = jax.lax.rsqrt(var + eps)               # (B, C)
+    shift = -mean * scale
+    if gamma is not None:
+        scale = scale * gamma.astype(jnp.float32)
+        shift = shift * gamma.astype(jnp.float32)
+    if beta is not None:
+        shift = shift + beta.astype(jnp.float32)
+    scale4 = jnp.tile(scale, (1, 4))[:, None, None, :]
+    shift4 = jnp.tile(shift, (1, 4))[:, None, None, :]
+    return (zf * scale4 + shift4).astype(z.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -11,11 +11,14 @@ from speedplusbaseline_tpu.models.ghiasi import reflect_pad, upsample_nearest
 from speedplusbaseline_tpu.ops.instancenorm import instance_norm_film
 from speedplusbaseline_tpu.ops.phase_conv import (
     conv3x3_s2_phase,
+    conv3x3_s2_phase_aligned,
     conv9x9_phase,
     depth_to_space2,
     phase_instance_norm,
+    phase_instance_norm_packed,
     space_to_depth2,
     upconv3x3_phase,
+    upconv3x3_phase_packed,
 )
 
 
@@ -51,6 +54,17 @@ class TestConv3x3Stride2(object):
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_aligned_form_matches(self, rng, prec):
+        x = rng.rand(2, 16, 24, 6).astype(np.float32)
+        w = (rng.randn(3, 3, 6, 7) * 0.3).astype(np.float32)
+        b = rng.randn(7).astype(np.float32)
+
+        ref = conv_ref(reflect_pad(jnp.asarray(x), 1), w, stride=2) + b
+        ours = conv3x3_s2_phase_aligned(space_to_depth2(jnp.asarray(x)),
+                                        jnp.asarray(w), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestUpConv3x3:
     def test_matches_upsample_reflect_pad_conv(self, rng, prec):
@@ -64,6 +78,22 @@ class TestUpConv3x3:
         z = upconv3x3_phase(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
         bsz, h, wdt, _, o = z.shape
         ours = depth_to_space2(z.reshape(bsz, h, wdt, 4 * o))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestUpConv3x3Packed:
+    def test_matches_upsample_reflect_pad_conv(self, rng, prec):
+        x = rng.rand(2, 9, 13, 6).astype(np.float32)
+        w = (rng.randn(3, 3, 6, 5) * 0.3).astype(np.float32)
+        b = rng.randn(5).astype(np.float32)
+
+        up = upsample_nearest(jnp.asarray(x), 2)
+        ref = conv_ref(reflect_pad(up, 1), w) + b
+
+        z = upconv3x3_phase_packed(jnp.asarray(x), jnp.asarray(w),
+                                   jnp.asarray(b))
+        ours = depth_to_space2(z)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
@@ -96,6 +126,18 @@ class TestPhaseInstanceNorm:
         ours = depth_to_space2(ours4)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_packed_stats_form(self, rng, prec):
+        y = rng.rand(2, 8, 10, 12).astype(np.float32)
+        gamma = rng.rand(2, 3).astype(np.float32) + 0.5
+        beta = rng.randn(2, 3).astype(np.float32)
+
+        a = phase_instance_norm(jnp.asarray(y), jnp.asarray(gamma),
+                                jnp.asarray(beta))
+        b = phase_instance_norm_packed(jnp.asarray(y), jnp.asarray(gamma),
+                                       jnp.asarray(beta))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-5)
 
     def test_phase_axis_form(self, rng, prec):
         z = rng.rand(2, 8, 10, 4, 5).astype(np.float32)
