@@ -47,7 +47,8 @@ MEASURE_STEPS = 30
 # benchmark in a child process with a timeout and retries, so one stalled
 # compile doesn't swallow the whole bench run.
 _CHILD_ENV_FLAG = "SPEEDPLUS_BENCH_CHILD"
-_ATTEMPT_TIMEOUT_S = 480
+_ATTEMPT_TIMEOUT_S = 900  # two fresh compiles (plain+styled phase path) can
+                          # take ~7-8 min through the remote-compile tunnel
 _ATTEMPTS = 3
 
 
