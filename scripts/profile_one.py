@@ -89,14 +89,28 @@ def main():
         fn = jax.jit(lambda: gh.apply(vg, images, emb))
     elif variant == "augs":
         fn = jax.jit(lambda: augment_batch(key, images, keypts))
-    elif variant == "krn_fwd":
+    elif variant in ("krn_fwd", "krn_fwd_train", "krn_fwdbwd"):
         model = KeypointRegressionNet(11, dtype=dtype)
         cfgf = default_cfg(batch_size=B, input_shape=(H, W))
         from speedplusbaseline_tpu.engine import create_train_state as _cts
         import optax as _optax
         st = _cts(model, _optax.identity(), key, jnp.zeros((1, H, W, 3)))
         variables = {"params": st.params, "batch_stats": st.batch_stats}
-        fn = jax.jit(lambda: model.apply(variables, images, train=False))
+        if variant == "krn_fwd":
+            fn = jax.jit(lambda: model.apply(variables, images, train=False))
+        elif variant == "krn_fwd_train":
+            fn = jax.jit(lambda: model.apply(
+                variables, images, train=True, mutable=["batch_stats"]))
+        else:
+            from speedplusbaseline_tpu.models.krn import krn_loss
+
+            def loss_fn(params):
+                (xc, yc), mut = model.apply(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    images, train=True, mutable=["batch_stats"])
+                loss, _ = krn_loss(xc, yc, keypts)
+                return loss
+            fn = jax.jit(lambda: jax.grad(loss_fn)(st.params))
     elif variant == "ghiasi":
         gh = Ghiasi(dtype=dtype)
         vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))

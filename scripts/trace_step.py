@@ -25,7 +25,7 @@ B, H, W = 48, 224, 224
 OUT = "/tmp/jax_trace"
 
 
-def build_step():
+def build_step(bare=False):
     from speedplusbaseline_tpu.augment.styleaug import StyleAugmentor, random_style_stats
     from speedplusbaseline_tpu.config import default_cfg
     from speedplusbaseline_tpu.engine import (
@@ -36,14 +36,18 @@ def build_step():
     from speedplusbaseline_tpu.models import KeypointRegressionNet
 
     cfg = default_cfg(batch_size=B, input_shape=(H, W), optimizer="adamw",
-                      randomize_texture=True, texture_ratio=1.0, fp16=True)
+                      randomize_texture=not bare, texture_ratio=1.0, fp16=True)
     model = KeypointRegressionNet(11, dtype=jnp.bfloat16)
     tx = build_optimizer(cfg, 100)
     key = jax.random.PRNGKey(0)
     state = create_train_state(model, tx, key, jnp.zeros((1, H, W, 3)))
-    aug = StyleAugmentor(0.5, random_style_stats(0), dtype=jnp.bfloat16)
-    sp = aug.init_params(jax.random.PRNGKey(1), (1, H, W, 3))
-    step = make_krn_train_step(model, tx, cfg, style_aug=aug)
+    if bare:
+        sp = None
+        step = make_krn_train_step(model, tx, cfg, style_aug=None)
+    else:
+        aug = StyleAugmentor(0.5, random_style_stats(0), dtype=jnp.bfloat16)
+        sp = aug.init_params(jax.random.PRNGKey(1), (1, H, W, 3))
+        step = make_krn_train_step(model, tx, cfg, style_aug=aug)
     rs = np.random.RandomState(0)
     batch = {"image": jnp.asarray(rs.rand(B, H, W, 3).astype(np.float32)),
              "keypts": jnp.asarray(rs.rand(B, 2, 11).astype(np.float32))}
@@ -51,7 +55,8 @@ def build_step():
 
 
 def main():
-    step, state, batch, sp, key = build_step()
+    bare = len(sys.argv) > 1 and sys.argv[1] == "bare"
+    step, state, batch, sp, key = build_step(bare=bare)
     # warm up / compile outside the trace
     for _ in range(3):
         state, sm = step(state, batch, key, sp)

@@ -72,10 +72,10 @@ class StyleAugmentor:
         self.mean = jnp.asarray(mean)
         self.base = jnp.asarray(base)
         if use_pallas is None:
-            # Measured on TPU v5e: XLA's native IN lowering matches the
-            # Pallas kernel (27.5 vs 29.0 ms for the 224^2 batch-48 forward),
-            # so the kernel stays opt-in.
-            use_pallas = False
+            # The fused Pallas residual block beats XLA's lowering by ~13%
+            # at the 56^2x128 Ghiasi shape (fetch-synced A/B, round 2);
+            # auto-on for real TPU backends, off on CPU (no Mosaic).
+            use_pallas = jax.default_backend() not in ("cpu",)
         if tpu_opt is None:
             # Phase-space (space-to-depth) rewrites of the full-resolution
             # layers (ops/phase_conv.py) — numerically identical and

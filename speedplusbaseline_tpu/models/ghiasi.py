@@ -267,9 +267,13 @@ class Ghiasi(nn.Module):
         y = conv3x3_s2_phase_aligned(space_to_depth2(y), w, b)
         y = nn.relu(instance_norm_film(y)).astype(self.dtype)
 
-        # residual blocks, unchanged (56^2 x 128 is already MXU-friendly)
+        # residual blocks (56^2 x 128): the fused Pallas kernel beats XLA's
+        # lowering by ~13% here (3.08 vs 3.53 ms for the 5-block chain,
+        # fetch-synced A/B in scripts/probe_resblock.py)
         for i in range(5):
             y = ResidualBlock(128, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
+                              pallas_interpret=self.pallas_interpret,
                               name=f"layer{3 + i}")(y, styles)
 
         # layer8: up2 + 3x3 128->64 as aligned subpixel conv (packed phase

@@ -57,6 +57,7 @@ class TestPreprocessCLI:
 
 
 class TestTrainCLI:
+    @pytest.mark.slow
     def test_train_krn_one_epoch(self, workdir):
         import train
         from speedplusbaseline_tpu.config import parse_cfg
@@ -74,6 +75,7 @@ class TestTrainCLI:
             tags = {json.loads(line)["tag"] for line in f}
         assert {"train/loss_x", "train/loss_y", "Valid/err_q [deg]"} <= tags
 
+    @pytest.mark.slow
     def test_auto_resume_continues(self, workdir):
         import train
         from speedplusbaseline_tpu.config import parse_cfg

@@ -52,6 +52,7 @@ class TestMesh:
 
 
 class TestDPStepEquivalence:
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self, eight_devices, rng):
         cfg = default_cfg(batch_size=16, input_shape=(64, 64), optimizer="sgd",
                           lr=1e-2, momentum=0.0, weight_decay=0.0)
@@ -82,6 +83,7 @@ class TestDPStepEquivalence:
         worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
         assert worst < 1e-4, worst
 
+    @pytest.mark.slow
     def test_batch_stats_are_global(self, eight_devices, rng):
         """BatchNorm means under the sharded step must equal the FULL batch
         statistics — not per-shard (torch DDP would differ here)."""
