@@ -180,22 +180,48 @@ def main():
         x = arr(48, 112, 112, 128)
         fn = jax.jit(lambda x: jnp.mean(
             x.astype(jnp.float32), axis=(1, 2)))
+    elif part in ("in64_xla", "in64_pallas"):
+        # l1's IN site in the phase path: (48, 112, 112, 64)
+        x = arr(48, 112, 112, 64)
+        if part == "in64_xla":
+            from speedplusbaseline_tpu.ops.instancenorm import instance_norm_film
+            fn = jax.jit(lambda x: jax.nn.relu(instance_norm_film(x)))
+        else:
+            from speedplusbaseline_tpu.ops.pallas_instancenorm import (
+                instance_norm_film_pallas,
+            )
+            fn = jax.jit(lambda x: instance_norm_film_pallas(x, relu=True))
+    elif part in ("inpk_xla",):
+        from speedplusbaseline_tpu.ops.phase_conv import phase_instance_norm_packed
+        x = arr(48, 112, 112, 128)
+        g = arr(48, 32, dtype=jnp.float32)
+        be = arr(48, 32, dtype=jnp.float32)
+        fn = jax.jit(lambda x: jax.nn.relu(phase_instance_norm_packed(x, g, be)))
     else:
         raise SystemExit(f"unknown part {part}")
 
+    # Fetch-synced protocol (CLAUDE.md): per-call = (t(N)-t(1))/(N-1), each
+    # run ending in a 1-element host fetch that syncs the device queue.
     t0 = time.perf_counter()
     out = fn(x)
     jax.block_until_ready(out)
     print(f"compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
-    for _ in range(4):
-        out = fn(x)
-    jax.block_until_ready(out)
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n
+    grab = jax.jit(lambda o: jax.tree_util.tree_leaves(o)[0].ravel()[0])
+    _ = np.array(grab(out))
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(x)
+        _ = np.array(grab(o))
+        return time.perf_counter() - t0
+
+    run(1)
+    t1 = run(1)
+    n = 100
+    tn = run(n)
+    dt = (tn - t1) / (n - 1)
     extra = ""
     if flops:
         extra = f"  {flops/dt/1e12:.1f} TFLOP/s"

@@ -111,6 +111,22 @@ def main():
                 loss, _ = krn_loss(xc, yc, keypts)
                 return loss
             fn = jax.jit(lambda: jax.grad(loss_fn)(st.params))
+    elif variant == "krn_fwdbwd_frozenbn":
+        # DIAGNOSTIC ONLY (not parity): grads through eval-mode BN, to
+        # quantify what train-mode batch statistics cost in the backward.
+        model = KeypointRegressionNet(11, dtype=dtype)
+        from speedplusbaseline_tpu.engine import create_train_state as _cts
+        from speedplusbaseline_tpu.models.krn import krn_loss
+        import optax as _optax
+        st = _cts(model, _optax.identity(), key, jnp.zeros((1, H, W, 3)))
+
+        def loss_fn(params):
+            xc, yc = model.apply(
+                {"params": params, "batch_stats": st.batch_stats},
+                images, train=False)
+            loss, _ = krn_loss(xc, yc, keypts)
+            return loss
+        fn = jax.jit(lambda: jax.grad(loss_fn)(st.params))
     elif variant == "ghiasi":
         gh = Ghiasi(dtype=dtype)
         vg = gh.init({"params": key}, jnp.zeros((1, H, W, 3)), jnp.zeros((1, 100)))

@@ -162,8 +162,12 @@ class ResidualBlock(nn.Module):
         g2, b2 = film("2")
 
         h, w = x.shape[1], x.shape[2]
-        # Fused-kernel VMEM budget: ~5 f32 copies of the slab.
-        fused_ok = self.use_pallas and h * w * self.features * 4 * 5 <= 10 * 2**20
+        # Fused-kernel VMEM budget: ~5 f32 copies of the slab. Odd spatial
+        # sizes (SPN's 227^2 input reaches here as 57^2) hang the remote
+        # Mosaic compile on this toolchain — measured round 2, 5/5 attempts —
+        # so the kernel also requires even H/W; odd shapes use XLA's lowering.
+        fused_ok = (self.use_pallas and h % 2 == 0 and w % 2 == 0
+                    and h * w * self.features * 4 * 5 <= 10 * 2**20)
 
         if fused_ok:
             from ..ops.pallas_resblock import ghiasi_resblock_pallas

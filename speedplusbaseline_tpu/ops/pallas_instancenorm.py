@@ -29,8 +29,11 @@ def fits_vmem(h: int, w: int, c: int, budget_bytes: int = 4 * 2**20) -> bool:
     """Whether one sample's (H*W, C) slab fits VMEM for the single-pass
     kernel (double-buffered bf16 in/out + one f32 temporary), and the channel
     count is wide enough to use the lanes. 224^2 x 32 slabs (Ghiasi layers
-    0/9) do NOT fit — those fall back to the XLA lowering."""
-    return c >= 16 and h * w * c * 8 <= budget_bytes
+    0/9) do NOT fit — those fall back to the XLA lowering. Odd spatial sizes
+    (SPN's 227^2 pipeline) are excluded: odd-HW Pallas kernels hang the
+    remote Mosaic compile on this toolchain (measured round 2)."""
+    return (c >= 16 and h % 2 == 0 and w % 2 == 0
+            and h * w * c * 8 <= budget_bytes)
 
 
 def _inf_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float, relu: bool):

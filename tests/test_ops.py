@@ -80,6 +80,22 @@ class TestFusedResBlock:
         o1 = g1.apply(v, x, st)
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
 
+    def test_odd_spatial_size(self, rng):
+        """SPN's 227^2 input reaches the resblocks at an odd 57^2 — the
+        fused kernel must handle non-tile-multiple HW (Mosaic pads)."""
+        import jax
+        from speedplusbaseline_tpu.models.ghiasi import ResidualBlock
+
+        key = jax.random.PRNGKey(0)
+        x = jnp.asarray(rng.rand(2, 9, 9, 128).astype(np.float32))
+        st = jnp.asarray(rng.randn(2, 100).astype(np.float32))
+        b0 = ResidualBlock(128, use_pallas=False)
+        b1 = ResidualBlock(128, use_pallas=True, pallas_interpret=True)
+        v = b0.init({"params": key}, x, st)
+        o0 = b0.apply(v, x, st)
+        o1 = b1.apply(v, x, st)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
+
 
 class TestReflectConv:
     def test_exact_match_vs_padded_conv(self, rng):
