@@ -66,6 +66,21 @@ def main():
     elif part == "relu6_bwd":
         fn = jax.jit(jax.grad(
             lambda x: jnp.sum(jnp.clip(x, 0, 6).astype(jnp.float32))))
+    elif part in ("dw_s2_fwd", "dw_s2_bwd_x", "dw_s2_bwd_w"):
+        def dws2(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C)
+        if part == "dw_s2_fwd":
+            fn = jax.jit(lambda x: dws2(x, wd))
+        elif part == "dw_s2_bwd_x":
+            fn = jax.jit(jax.grad(
+                lambda x: jnp.sum(dws2(x, wd).astype(jnp.float32))))
+        else:
+            fn = jax.jit(jax.grad(
+                lambda w: jnp.sum(dws2(x, w).astype(jnp.float32))))
+            x = wd
     else:
         raise SystemExit(part)
 

@@ -46,13 +46,18 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # Statistics (and running stats) are always computed/stored in f32 —
+        # flax promotes reductions to float32 internally — but the normalize
+        # APPLY runs in the compute dtype: upcasting the whole activation to
+        # f32 here doubled HBM traffic at all 52 BN sites and was the main
+        # backward-pass tax (bare step 12.2 ms -> see BASELINE.md round-2).
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,  # normalize in f32 for stability
+            dtype=self.dtype,
             axis_name=None,
-        )(x.astype(jnp.float32)).astype(self.dtype)
+        )(x)
         if self.act is not None:
             x = self.act(x)
         return x
