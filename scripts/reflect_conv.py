@@ -1,4 +1,11 @@
-"""Reflect-padded convolution without materializing the padded tensor.
+"""[MEASURED DEAD END — kept under scripts/ for the record, not shipped.]
+
+Reflect-padded convolution without materializing the padded tensor.
+Measured SLOWER than plain jnp.pad reflect on v5e (30.9 vs 27.6 ms per
+Ghiasi forward, BASELINE.md round-1 optimization record): the
+dynamic_update_slice border writes cost more than the pad they avoid. The
+production path instead removed the reflect-pad tax entirely via the
+phase-space lowering (ops/phase_conv.py). Self-test: run this file.
 
 ``conv(reflect_pad(x))`` forces XLA to materialize a padded copy of the
 activation (~8 ms per Ghiasi forward at 224^2 batch 48 on v5e), because only
@@ -77,3 +84,21 @@ def reflect_conv(x, w, b=None):
     if b is not None:
         out = out + b
     return out
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    for (k, C, Co, H) in [(3, 8, 16, 20), (9, 3, 32, 24)]:
+        x = jnp.asarray(rng.randn(2, H, H, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, C, Co).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
+        p = k // 2
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        ref = jax.lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        out = reflect_conv(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    print("reflect_conv self-test OK")

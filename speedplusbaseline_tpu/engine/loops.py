@@ -85,9 +85,12 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
                 sp = None  # unstyled step: specialized program, no in-graph cond
             state, sm = train_step(state, batch, rng, sp)
 
+        # Timestamp BEFORE flushing the lagged readback so step i's recorded
+        # wall-time never includes step i-1's host fetch.
+        now = time.time()
         if pending is not None:
             _flush(pending)
-        pending = (idx, B, sm, (time.time() - start) * 1000)
+        pending = (idx, B, sm, (now - start) * 1000)
         start = time.time()
     if pending is not None:
         _flush(pending)

@@ -241,7 +241,11 @@ def phase_instance_norm_packed(z, gamma=None, beta=None, eps: float = 1e-5):
     m1 = jnp.mean(zf, axis=(1, 2))                 # (B, 4C)
     m2 = jnp.mean(jnp.square(zf), axis=(1, 2))     # (B, 4C)
     mean = jnp.mean(m1.reshape(b, 4, c), axis=1)   # (B, C)
-    var = jnp.mean(m2.reshape(b, 4, c), axis=1) - jnp.square(mean)
+    # E[x^2]-E[x]^2 can go slightly negative in f32 for near-constant
+    # channels with large mean (catastrophic cancellation) — clamp like
+    # flax's _compute_stats does, or rsqrt returns NaN.
+    var = jnp.maximum(
+        jnp.mean(m2.reshape(b, 4, c), axis=1) - jnp.square(mean), 0.0)
     scale = jax.lax.rsqrt(var + eps)               # (B, C)
     shift = -mean * scale
     if gamma is not None:

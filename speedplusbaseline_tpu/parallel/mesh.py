@@ -18,7 +18,7 @@ its host-local shard of the global batch.
 from __future__ import annotations
 
 import os
-
+import warnings
 
 import jax
 import numpy as np
@@ -35,13 +35,22 @@ def maybe_initialize_distributed() -> None:
 def make_mesh(num_devices: int = 0, batch_size: int = 0) -> Mesh:
     """1-axis data mesh. With ``batch_size``, clamps the device count to the
     largest divisor of the batch so sharding stays exact (a global batch of 4
-    cannot shard over 8 chips)."""
+    cannot shard over 8 chips). Clamping is LOUD: silently idling chips
+    (e.g. batch 50 on 8 chips -> 5 used, 3 idle) would be a 37% throughput
+    loss the user never asked for, so it warns with the fix spelled out."""
     devices = jax.devices()
-    n = num_devices if num_devices > 0 else len(devices)
-    n = min(n, len(devices))
+    requested = num_devices if num_devices > 0 else len(devices)
+    n = min(requested, len(devices))
     if batch_size > 0:
         while n > 1 and batch_size % n != 0:
             n -= 1
+        if n < min(requested, len(devices)):
+            warnings.warn(
+                f"make_mesh: batch_size={batch_size} is not divisible by the "
+                f"{min(requested, len(devices))} available devices; clamping "
+                f"the data mesh to {n} device(s) and IDLING the rest. Pick a "
+                f"batch_size divisible by the device count to use all chips.",
+                RuntimeWarning, stacklevel=2)
     return Mesh(np.asarray(devices[:n]), ("data",))
 
 

@@ -90,15 +90,40 @@ class TestTrainCLI:
         assert int(ckpt["epoch"]) == 2
 
 
+@pytest.fixture(scope="module")
+def eval_ckpt(workdir):
+    """A model_best.msgpack produced inline (initialized weights, no
+    training) so the eval tests are self-sufficient under ``-m "not slow"``
+    — they must not depend on the slow-marked train test's artifacts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speedplusbaseline_tpu.config import parse_cfg
+    from speedplusbaseline_tpu.engine import create_train_state
+    from speedplusbaseline_tpu.io_utils.checkpoint import save_checkpoint
+    from speedplusbaseline_tpu.models import get_model
+
+    cfg = parse_cfg(cli_args(workdir, "save_eval_ckpt", "log_eval_ckpt"))
+    model = get_model(cfg)
+    state = create_train_state(model, optax.identity(), jax.random.PRNGKey(0),
+                               jnp.zeros((1, *cfg.input_shape, 3)))
+    save_checkpoint(
+        {"epoch": 0,
+         "variables": {"params": state.params,
+                       "batch_stats": state.batch_stats}},
+        is_best=True, output_dir=os.path.join(workdir, "save_eval_ckpt"))
+    return os.path.join(workdir, "save_eval_ckpt", "model_best.msgpack")
+
+
 class TestTestCLI:
-    def test_eval_pretrained(self, workdir):
+    def test_eval_pretrained(self, workdir, eval_ckpt):
         import test as test_cli
         from speedplusbaseline_tpu.config import parse_cfg
 
         cfg = parse_cfg(cli_args(workdir, "save_krn", "log_eval",
                                  resultfn="results.txt",
-                                 pretrained=os.path.join(
-                                     workdir, "save_krn", "model_best.msgpack")))
+                                 pretrained=eval_ckpt))
         test_cli.main(cfg)
         results = os.path.join(workdir, "log_eval", "results.txt")
         assert os.path.exists(results)

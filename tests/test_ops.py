@@ -81,8 +81,10 @@ class TestFusedResBlock:
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
 
     def test_odd_spatial_size(self, rng):
-        """SPN's 227^2 input reaches the resblocks at an odd 57^2 — the
-        fused kernel must handle non-tile-multiple HW (Mosaic pads)."""
+        """SPN's 227^2 input reaches the resblocks at an odd 57^2. Odd-HW
+        Mosaic compiles hang on this backend, so ResidualBlock gates the
+        fused Pallas kernel to even H/W (models/ghiasi.py) — this verifies
+        the odd-HW gate falls back to the XLA lowering and stays exact."""
         import jax
         from speedplusbaseline_tpu.models.ghiasi import ResidualBlock
 
@@ -97,18 +99,5 @@ class TestFusedResBlock:
         np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-4)
 
 
-class TestReflectConv:
-    def test_exact_match_vs_padded_conv(self, rng):
-        import jax
-        from speedplusbaseline_tpu.models.ghiasi import reflect_pad
-        from speedplusbaseline_tpu.ops.reflect_conv import reflect_conv
-
-        for (k, C, Co, H) in [(3, 8, 16, 20), (9, 3, 32, 24)]:
-            x = jnp.asarray(rng.randn(2, H, H, C).astype(np.float32))
-            w = jnp.asarray(rng.randn(k, k, C, Co).astype(np.float32) * 0.1)
-            b = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.1)
-            ref = jax.lax.conv_general_dilated(
-                reflect_pad(x, k // 2), w, (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
-            out = reflect_conv(x, w, b)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+# reflect_conv was a measured dead end (slower than jnp.pad on v5e) and now
+# lives under scripts/reflect_conv.py with a self-test — see its docstring.

@@ -50,6 +50,22 @@ class TestMesh:
         with pytest.raises(Exception):
             shard_batch(mesh, {"x": rng.rand(10, 4).astype(np.float32)})
 
+    def test_clamp_warns_loudly(self, eight_devices):
+        # batch 50 on 8 chips -> largest divisor 5; 3 chips would idle.
+        # Silently shrinking the mesh is a hidden 37% throughput loss, so
+        # make_mesh must warn (VERDICT r2 weak #6).
+        with pytest.warns(RuntimeWarning, match="IDLING"):
+            mesh = make_mesh(batch_size=50)
+        assert mesh.size == 5
+
+    def test_exact_divisor_does_not_warn(self, eight_devices):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            mesh = make_mesh(batch_size=48)
+        assert mesh.size == 8
+
 
 class TestDPStepEquivalence:
     @pytest.mark.slow
