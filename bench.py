@@ -83,16 +83,28 @@ def main():
     if mode == "eval":
         _bench_eval()
         return
+    if mode == "dann":
+        _bench_dann()
+        return
+    if mode == "spn":
+        _bench_spn()
+        return
 
     result = _run_child("1")
     if result is None:
         sys.exit(1)
-    # Secondary metrics — best-effort, omitted on failure. The eval path
-    # (fwd + on-device EPnP + SPEED scoring, VERDICT item 6b) runs on the
-    # TPU in its own child; the host input pipeline is CPU-only.
+    # Secondary metrics — best-effort, omitted on failure. Each TPU
+    # measurement runs in its own child (the remote-compile tunnel is more
+    # reliable with few programs per process); the host pipeline is CPU-only.
     ev = _run_child("eval", attempts=2)
     if ev:
         result.update(ev)
+    dann = _run_child("dann", attempts=2)
+    if dann:
+        result.update(dann)
+    spn = _run_child("spn", attempts=2)
+    if spn:
+        result.update(spn)
     hl = _host_loader_rates()
     if hl:
         result.update(hl)
@@ -191,6 +203,130 @@ def _bench_eval():
     print(json.dumps({
         "eval_img_s_per_chip": round(BATCH / per, 1),
         "eval_step_ms": round(per * 1e3, 2),
+    }))
+
+
+def _bench_dann():
+    """DANN adaptation step throughput — the reference's heaviest documented
+    workflow (README.md:102-111: batch 16, 750 epochs; adapt.py:47-146).
+    One joint backward through the source pose loss + both gradient-reversed
+    domain heads (engine/steps.py make_dann_train_step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speedplusbaseline_tpu.config import default_cfg
+    from speedplusbaseline_tpu.engine import (
+        build_optimizer,
+        create_train_state,
+        make_dann_train_step,
+    )
+    from speedplusbaseline_tpu.models import RevGrad
+
+    B = 16  # reference DANN recipe batch (README.md:107)
+    cfg = default_cfg(batch_size=B, input_shape=SHAPE, optimizer="adamw",
+                      lr=1e-3, weight_decay=0.01, fp16=True)
+    model = RevGrad(cfg.num_keypoints, dtype=jnp.bfloat16)
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, tx, rng, jnp.zeros((1, *SHAPE, 3)))
+    step = make_dann_train_step(model, tx, cfg)
+
+    rs = np.random.RandomState(0)
+    source = {
+        "image": jnp.asarray(rs.rand(B, *SHAPE, 3).astype(np.float32)),
+        "keypts": jnp.asarray(rs.rand(B, 2, cfg.num_keypoints)
+                              .astype(np.float32)),
+    }
+    target = {"image": jnp.asarray(rs.rand(B, *SHAPE, 3).astype(np.float32))}
+    alpha = np.float32(0.5)
+
+    for _ in range(WARMUP_STEPS):
+        state, sm = step(state, source, target, rng, alpha)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, sm = step(state, source, target, rng, alpha)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    per_step = dt / MEASURE_STEPS
+    # Images processed per step: B source + B target (both run the backbone).
+    print(json.dumps({
+        "dann_img_s_per_chip": round(2 * B / per_step, 1),
+        "dann_step_ms": round(per_step * 1e3, 2),
+    }))
+
+
+def _bench_spn():
+    """SPN supervised step throughput at the reference's 227x227 recipe
+    (src/nets/spn.py:126-131), plain and styled (trainer.py:68-69 applies
+    the styleAugmentor model-agnostically). 227 is odd, so the styled step
+    exercises the plain (non-phase) Ghiasi lowering."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speedplusbaseline_tpu.augment.styleaug import (
+        StyleAugmentor,
+        load_style_stats,
+        random_style_stats,
+    )
+    from speedplusbaseline_tpu.config import default_cfg
+    from speedplusbaseline_tpu.engine import (
+        build_optimizer,
+        create_train_state,
+        make_spn_train_step,
+    )
+    from speedplusbaseline_tpu.io_utils.assets import default_assets_dir
+    from speedplusbaseline_tpu.models import SpacecraftPoseNet
+
+    B = BATCH
+    shape = (227, 227)
+    cfg = default_cfg(batch_size=B, input_shape=shape, model_name="spn",
+                      optimizer="adamw", lr=1e-3, weight_decay=0.01,
+                      fp16=True)
+    model = SpacecraftPoseNet(cfg.num_classes, dtype=jnp.bfloat16)
+    tx = build_optimizer(cfg, steps_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, tx, rng, jnp.zeros((1, *shape, 3)))
+
+    try:
+        stats = load_style_stats(default_assets_dir())
+    except FileNotFoundError:
+        stats = random_style_stats(0)
+    style_aug = StyleAugmentor(cfg.texture_alpha, stats, dtype=jnp.bfloat16)
+    style_params = style_aug.init_params(jax.random.PRNGKey(1), (1, *shape, 3))
+    step = make_spn_train_step(model, tx, cfg, style_aug=style_aug)
+
+    rs = np.random.RandomState(0)
+    yc = rs.rand(B, cfg.num_classes).astype(np.float32)
+    yw = rs.rand(B, cfg.num_classes).astype(np.float32)
+    batch = {
+        "image": jnp.asarray(rs.rand(B, *shape, 3).astype(np.float32)),
+        "y_classes": jnp.asarray(yc / yc.sum(1, keepdims=True)),
+        "y_weights": jnp.asarray(yw / yw.sum(1, keepdims=True)),
+    }
+
+    def timed(sp):
+        st = create_train_state(model, tx, rng, jnp.zeros((1, *shape, 3)))
+        for _ in range(WARMUP_STEPS):
+            st, sm = step(st, batch, rng, sp)
+        jax.block_until_ready(st.params)
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            st, sm = step(st, batch, rng, sp)
+        jax.block_until_ready(st.params)
+        return (time.perf_counter() - t0) / MEASURE_STEPS
+
+    plain = timed(None)
+    styled = timed(style_params)
+    # texture_ratio 0.5 workload: half plain, half styled steps
+    avg = 0.5 * (plain + styled)
+    print(json.dumps({
+        "spn_img_s_per_chip": round(B / avg, 1),
+        "spn_plain_step_ms": round(plain * 1e3, 2),
+        "spn_styled_step_ms": round(styled * 1e3, 2),
     }))
 
 

@@ -11,7 +11,9 @@ bench_host_loader.py per-worker rate (~30 img/s); the TPU step itself
 sustains ~2400 img/s (bench.py), so the from-disk number here measures the
 host, not the chip — see BASELINE.md for the scaling analysis.
 
-Usage: python scripts/bench_e2e.py [num_images] [epochs]
+Usage: python scripts/bench_e2e.py [num_images] [epochs] [cache|nocache|both]
+``cache`` builds the pre-decoded RoI cache (data/cache.py) first and feeds
+the loader through --cache_dir — the shipped cure for the host bottleneck.
 """
 from __future__ import annotations
 
@@ -34,12 +36,14 @@ import speedplusbaseline_tpu  # noqa: F401
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    mode = sys.argv[3] if len(sys.argv) > 3 else "both"
 
     import jax
     import jax.numpy as jnp
 
     from speedplusbaseline_tpu.config import default_cfg
     from speedplusbaseline_tpu.data import generate_fake_speedplus, make_dataloader
+    from speedplusbaseline_tpu.data.cache import build_cache
     from speedplusbaseline_tpu.data.preprocess import json2csv
     from speedplusbaseline_tpu.engine import (
         build_optimizer,
@@ -53,42 +57,61 @@ def main():
         generate_fake_speedplus(tmp, num_train=n_images, num_test=4,
                                 width=1920, height=1200,
                                 domains=("synthetic",))
-        cfg = default_cfg(
-            dataroot=tmp, input_shape=(224, 224), batch_size=48,
-            num_workers=max(2, os.cpu_count() or 2), optimizer="adamw",
-            fp16=True, use_native_loader=True)
-        json2csv(tmp, cfg.dataname, "synthetic", "train.json",
+        json2csv(tmp, "speedplus", "synthetic", "train.json",
                  "splits_krn/train.csv", model_name="krn")
 
-        loader = make_dataloader(cfg, is_train=True, is_source=True)
-        model = KeypointRegressionNet(cfg.num_keypoints, dtype=jnp.bfloat16)
-        tx = build_optimizer(cfg, len(loader))
-        rng = jax.random.PRNGKey(0)
-        state = create_train_state(model, tx, rng,
-                                   jnp.zeros((1, 224, 224, 3)))
-        step = make_krn_train_step(model, tx, cfg, style_aug=None)
-
-        rates = []
-        for epoch in range(epochs):
-            loader.set_epoch(epoch)
-            n = 0
+        cache_dir = ""
+        cache_build_s = None
+        if mode in ("cache", "both"):
+            cache_dir = os.path.join(tmp, "roi_cache")
             t0 = time.perf_counter()
-            for batch in loader:
-                state, sm = step(state, batch, rng, None)
-                n += int(batch["image"].shape[0])
-            jax.block_until_ready(
-                jax.tree_util.tree_leaves(state.params)[0])
-            dt = time.perf_counter() - t0
-            rates.append(n / dt)
-            print(f"epoch {epoch}: {n / dt:.1f} img/s ({n} imgs in {dt:.1f}s)",
+            build_cache(tmp, "speedplus", "synthetic",
+                        [os.path.join(tmp, "speedplus", "synthetic",
+                                      "splits_krn", "train.csv")],
+                        cache_dir, cache_size=512)
+            cache_build_s = time.perf_counter() - t0
+            print(f"cache built in {cache_build_s:.1f}s (one-time)",
                   flush=True)
 
-        steady = max(rates[1:]) if len(rates) > 1 else rates[0]
-        print(json.dumps({
-            "e2e_from_disk_img_s": round(steady, 1),
-            "host_cores": os.cpu_count(),
-            "num_workers": cfg.num_workers,
-        }))
+        def measure(cdir):
+            cfg = default_cfg(
+                dataroot=tmp, input_shape=(224, 224), batch_size=48,
+                num_workers=max(2, os.cpu_count() or 2), optimizer="adamw",
+                fp16=True, use_native_loader=True, cache_dir=cdir)
+            loader = make_dataloader(cfg, is_train=True, is_source=True)
+            model = KeypointRegressionNet(cfg.num_keypoints,
+                                          dtype=jnp.bfloat16)
+            tx = build_optimizer(cfg, len(loader))
+            rng = jax.random.PRNGKey(0)
+            state = create_train_state(model, tx, rng,
+                                       jnp.zeros((1, 224, 224, 3)))
+            step = make_krn_train_step(model, tx, cfg, style_aug=None)
+            rates = []
+            for epoch in range(epochs):
+                loader.set_epoch(epoch)
+                n = 0
+                t0 = time.perf_counter()
+                for batch in loader:
+                    state, sm = step(state, batch, rng, None)
+                    n += int(batch["image"].shape[0])
+                jax.block_until_ready(
+                    jax.tree_util.tree_leaves(state.params)[0])
+                dt = time.perf_counter() - t0
+                rates.append(n / dt)
+                print(f"  epoch {epoch}: {n / dt:.1f} img/s "
+                      f"({n} imgs in {dt:.1f}s)", flush=True)
+            return max(rates[1:]) if len(rates) > 1 else rates[0]
+
+        out = {"host_cores": os.cpu_count(),
+               "num_workers": max(2, os.cpu_count() or 2)}
+        if mode in ("nocache", "both"):
+            print("from-disk, full-frame decode:", flush=True)
+            out["e2e_from_disk_img_s"] = round(measure(""), 1)
+        if mode in ("cache", "both"):
+            print("from-disk, RoI cache:", flush=True)
+            out["e2e_cached_img_s"] = round(measure(cache_dir), 1)
+            out["cache_build_s"] = round(cache_build_s, 1)
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "results are identical, this is purely throughput)")
     parser.add_argument("--use_native_loader", action="store_true", default=False,
                         help="Use the C++ data-loader core if built")
+    parser.add_argument("--cache_dir", type=str, default="",
+                        help="Pre-decoded RoI cache built by "
+                             "scripts/cache_dataset.py: loads ~0.5k^2 cached "
+                             "crops instead of decoding 1920x1200 frames "
+                             "(~10x host decode reduction)")
 
     return parser
 

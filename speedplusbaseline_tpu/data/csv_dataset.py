@@ -64,13 +64,32 @@ class _CSVDataset:
                 self.use_native = False
 
         if is_train and is_source:
-            csvfile = osp.join(self.root, cfg.train_domain,
+            domain = cfg.train_domain
+            csvfile = osp.join(self.root, domain,
                                "splits_" + cfg.model_name, cfg.train_csv)
         else:
-            csvfile = osp.join(self.root, cfg.test_domain,
+            domain = cfg.test_domain
+            csvfile = osp.join(self.root, domain,
                                "splits_" + cfg.model_name, cfg.test_csv)
         logger.info("%s from %s", "Training" if is_train else "Testing", csvfile)
         self.csv = pd.read_csv(csvfile, header=None)
+
+        # Pre-decoded RoI cache (data/cache.py): swap the 1920x1200 frame for
+        # a small cached crop and work in its coordinate frame.
+        self.cache = None
+        cache_dir = getattr(cfg, "cache_dir", "")
+        if cache_dir:
+            from .cache import load_manifest
+
+            self.cache = load_manifest(cache_dir, cfg.dataname, domain)
+            if self.cache is None:
+                logger.warning(
+                    "--cache_dir set but no manifest for domain %s under %s "
+                    "(build with scripts/cache_dataset.py); decoding full "
+                    "frames", domain, cache_dir)
+            else:
+                logger.info("RoI cache: %d images (%s/%s)", len(self.cache),
+                            cache_dir, domain)
 
     def __len__(self):
         return len(self.csv)
@@ -82,9 +101,13 @@ class _CSVDataset:
 
     def _row_common(self, index: int):
         row = self.csv.iloc[index]
-        imgpath = osp.join(self.root, str(row[0]).strip())
+        rel = str(row[0]).strip()
+        imgpath = osp.join(self.root, rel)
         bbox = np.array(row[1:5], dtype=np.float32)
-        return row, imgpath, bbox
+        entry = self.cache.get(rel) if self.cache is not None else None
+        if entry is not None:
+            imgpath = entry[0]
+        return row, imgpath, bbox, entry
 
 
 class KRNDataset(_CSVDataset):
@@ -98,13 +121,18 @@ class KRNDataset(_CSVDataset):
             assert not load_labels  # DANN target stream is unlabeled
 
     def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
-        row, imgpath, bbox = self._row_common(index)
+        row, imgpath, bbox, centry = self._row_common(index)
 
         if self.is_train and self.load_labels:
             keypts = np.array(row[12:12 + 2 * self.num_keypts], dtype=np.float32)
             keypts = np.reshape(keypts, (self.num_keypts, 2)).T  # (2, K)
         else:
             keypts = np.zeros((2, self.num_keypts), dtype=np.float32)
+
+        if centry is not None:
+            from .cache import to_cache_coords
+
+            bbox, keypts = to_cache_coords(centry, bbox, keypts)
 
         rng = self.rng_for(epoch, index)
         if self.use_native:
@@ -129,6 +157,12 @@ class KRNDataset(_CSVDataset):
             if self.load_labels:
                 return {"image": crop, "keypts": keypts}
             return {"image": crop}
+        if centry is not None:
+            # The pose pipeline denormalizes keypoints with the crop box in
+            # ORIGINAL camera pixels (inference.py:63-78); map it back.
+            from .cache import to_original_coords
+
+            bbox = to_original_coords(centry, bbox)
         q_gt = np.array(row[5:9], dtype=np.float32)
         t_gt = np.array(row[9:12], dtype=np.float32)
         return {"image": crop, "bbox": bbox, "q_gt": q_gt, "t_gt": t_gt}
@@ -141,7 +175,15 @@ class SPNDataset(_CSVDataset):
         self.num_neighbors = cfg.num_neighbors
 
     def __getitem__(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
-        row, imgpath, bbox = self._row_common(index)
+        row, imgpath, bbox, centry = self._row_common(index)
+        # ResizeCrop returns the ORIGINAL csv bbox (transforms.py:166-190);
+        # with the cache, cropping happens in cache coords but the returned
+        # bbox stays the original (compute_position_spn consumes it).
+        orig_bbox = np.asarray(bbox, dtype=np.float32)
+        if centry is not None:
+            from .cache import to_cache_coords
+
+            bbox, _ = to_cache_coords(centry, bbox)
         if self.use_native:
             from ..native import decode_crop_resize, image_size
 
@@ -153,10 +195,11 @@ class SPNDataset(_CSVDataset):
             crop = decode_crop_resize(
                 imgpath, (cxmin, cymin, cxmax - cxmin, cymax - cymin),
                 self.input_shape)
-            bbox = np.asarray(bbox, dtype=np.float32)  # original, like ResizeCrop
+            bbox = orig_bbox
         else:
             image = _imread(imgpath)
-            crop, bbox = resize_crop(image, bbox, self.input_shape)
+            crop, _ = resize_crop(image, bbox, self.input_shape)
+            bbox = orig_bbox
 
         if self.is_train:
             att_classes = np.array(

@@ -219,3 +219,53 @@ class TestNativeLoader:
         ref = cv2.resize(full[10:90, 10:110], (64, 64),
                          interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
         assert np.abs(out - ref).mean() < 0.02  # decode/resample tolerance
+
+
+class TestRoICache:
+    """Pre-decoded RoI cache (data/cache.py + scripts/cache_dataset.py):
+    cached crops must be visually equivalent to the full-frame path, with
+    keypoints/bboxes exact in their respective frames and the returned eval
+    bbox back in ORIGINAL camera pixels."""
+
+    @pytest.fixture(scope="class")
+    def cache_root(self, fake_root, tmp_path_factory):
+        from speedplusbaseline_tpu.data.cache import build_cache
+
+        cache_dir = str(tmp_path_factory.mktemp("roicache"))
+        for domain, csv in (("synthetic", "splits_krn/train.csv"),
+                            ("lightbox", "splits_krn/lightbox.csv")):
+            build_cache(fake_root, "speedplus", domain,
+                        [os.path.join(fake_root, "speedplus", domain, csv)],
+                        cache_dir, cache_size=128)
+        return cache_dir
+
+    def test_train_sample_matches_fullframe(self, fake_root, cache_root):
+        ds0 = KRNDataset(make_cfg(fake_root), is_train=True, is_source=True)
+        ds1 = KRNDataset(make_cfg(fake_root, cache_dir=cache_root),
+                         is_train=True, is_source=True)
+        assert ds1.cache is not None and len(ds1.cache) == len(ds1)
+        for idx in (0, 3):
+            a = ds0.__getitem__(idx, epoch=1)
+            b = ds1.__getitem__(idx, epoch=1)
+            # identical normalized keypoints (linear coordinate change is
+            # exact; only resampling differs), visually-equal crops
+            np.testing.assert_allclose(a["keypts"], b["keypts"], atol=2e-2)
+            assert np.abs(a["image"] - b["image"]).mean() < 0.03
+
+    def test_eval_bbox_in_original_pixels(self, fake_root, cache_root):
+        ds0 = KRNDataset(make_cfg(fake_root), is_train=False, is_source=False)
+        ds1 = KRNDataset(make_cfg(fake_root, cache_dir=cache_root),
+                         is_train=False, is_source=False)
+        a = ds0.__getitem__(0)
+        b = ds1.__getitem__(0)
+        # eval crop is deterministic -> same crop box, original-pixel frame
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1.5)
+        np.testing.assert_allclose(a["q_gt"], b["q_gt"])
+        assert np.abs(a["image"] - b["image"]).mean() < 0.03
+
+    def test_missing_manifest_falls_back(self, fake_root, tmp_path):
+        ds = KRNDataset(make_cfg(fake_root, cache_dir=str(tmp_path)),
+                        is_train=True, is_source=True)
+        assert ds.cache is None
+        s = ds.__getitem__(0, epoch=0)
+        assert s["image"].shape == (64, 64, 3)
