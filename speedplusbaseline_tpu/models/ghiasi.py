@@ -212,32 +212,65 @@ class Ghiasi(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     tpu_opt: bool = False
+    # l10 lowering choice in the phase path (A/B-able; see BASELINE.md)
+    l10_dp: bool = True
+    # Profiling hook: return the activation after stage k (0=layer0 ..
+    # 7=layer7, 8=layer8, 9=layer9, 10=full incl. sigmoid). Guarantees
+    # prefix-bisection measurements (scripts/profile_prefix.py) time the
+    # PRODUCTION lowering, not a reimplementation.
+    upto: Optional[int] = None
+
+    def _cut(self, k: int) -> bool:
+        return self.upto is not None and self.upto == k
 
     @nn.compact
     def __call__(self, x, styles):
         """x: (B, H, W, 3) in [0,1]; styles: (B, 100). H, W divisible by 4."""
         x = x.astype(self.dtype)
         styles = styles.astype(jnp.float32)
-        if self.tpu_opt and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
-            # Shape is static at trace time; odd sizes (e.g. SPN's 227^2)
-            # fall back to the plain lowering below.
+        if self.tpu_opt:
+            # Shape is static at trace time. Non-multiple-of-4 sizes (e.g.
+            # SPN's 227^2, trainer.py:68-69 applies the augmentor
+            # model-agnostically) reflect-pad up to the next multiple of 4
+            # first: the plain lowering's own conv arithmetic emits
+            # 4*ceil(H/4) rows for odd inputs anyway (227 -> 228, exactly
+            # like the reference ghiasi.py), so the output shape contract is
+            # unchanged and only a border band inside the pad region differs
+            # from the plain lowering (immaterial for a style randomizer).
+            ph = -x.shape[1] % 4
+            pw = -x.shape[2] % 4
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            mode="reflect")
             return self._phase_forward(x, styles)
         up = self.use_pallas
         pi = self.pallas_interpret
 
         x = ConvInRelu(32, 9, 1, dtype=self.dtype, use_pallas=up,
                        pallas_interpret=pi, name="layer0")(x)
+        if self._cut(0):
+            return x
         x = ConvInRelu(64, 3, 2, dtype=self.dtype, use_pallas=up,
                        pallas_interpret=pi, name="layer1")(x)
+        if self._cut(1):
+            return x
         x = ConvInRelu(128, 3, 2, dtype=self.dtype, use_pallas=up,
                        pallas_interpret=pi, name="layer2")(x)
+        if self._cut(2):
+            return x
         for i in range(5):
             x = ResidualBlock(128, dtype=self.dtype, use_pallas=up,
                               pallas_interpret=pi, name=f"layer{3 + i}")(x, styles)
+            if self._cut(3 + i):
+                return x
         x = UpsampleConvInRelu(64, 3, upsample=2, dtype=self.dtype, use_pallas=up,
                                pallas_interpret=pi, name="layer8")(x, styles)
+        if self._cut(8):
+            return x
         x = UpsampleConvInRelu(32, 3, upsample=2, dtype=self.dtype, use_pallas=up,
                                pallas_interpret=pi, name="layer9")(x, styles)
+        if self._cut(9):
+            return x
         x = UpsampleConvInRelu(3, 9, upsample=None, use_relu=False,
                                dtype=self.dtype, use_pallas=up,
                                pallas_interpret=pi, name="layer10")(x, styles)
@@ -250,6 +283,7 @@ class Ghiasi(nn.Module):
         from ..ops.phase_conv import (
             conv3x3_s2_phase_aligned,
             conv9x9_phase,
+            conv9x9_phase_dp,
             depth_to_space2,
             phase_instance_norm_packed,
             space_to_depth2,
@@ -260,16 +294,22 @@ class Ghiasi(nn.Module):
         w, b, _, _ = _PhaseLayerParams(32, 9, name="layer0")(3)
         a = conv9x9_phase(space_to_depth2(x), w, b)
         a = nn.relu(phase_instance_norm_packed(a)).astype(self.dtype)
+        if self._cut(0):
+            return a
 
         # layer1: 3x3 s2 32->64; its s2d input IS layer0's phase output
         w, b, _, _ = _PhaseLayerParams(64, 3, name="layer1")(32)
         y = conv3x3_s2_phase_aligned(a, w, b)
         y = nn.relu(instance_norm_film(y)).astype(self.dtype)
+        if self._cut(1):
+            return y
 
         # layer2: 3x3 s2 64->128 @ 112 -> 56
         w, b, _, _ = _PhaseLayerParams(128, 3, name="layer2")(64)
         y = conv3x3_s2_phase_aligned(space_to_depth2(y), w, b)
         y = nn.relu(instance_norm_film(y)).astype(self.dtype)
+        if self._cut(2):
+            return y
 
         # residual blocks (56^2 x 128): the fused Pallas kernel beats XLA's
         # lowering by ~13% here (3.08 vs 3.53 ms for the 5-block chain,
@@ -279,6 +319,8 @@ class Ghiasi(nn.Module):
                               use_pallas=self.use_pallas,
                               pallas_interpret=self.pallas_interpret,
                               name=f"layer{3 + i}")(y, styles)
+            if self._cut(3 + i):
+                return y
 
         # layer8: up2 + 3x3 128->64 as aligned subpixel conv (packed phase
         # output, full-lane 4O channels, no shifted-window stack)
@@ -287,16 +329,28 @@ class Ghiasi(nn.Module):
         z = upconv3x3_phase_packed(y, w, b)  # (B, 56, 56, 256)
         z = nn.relu(phase_instance_norm_packed(z, g, be))
         y = depth_to_space2(z).astype(self.dtype)  # (B, 112, 112, 64)
+        if self._cut(8):
+            return y
 
         # layer9: up2 + 3x3 64->32; its packed output IS layer10's s2d input
         w, b, g, be = _PhaseLayerParams(32, 3, film=True,
                                         name="layer9")(64, styles)
         z = upconv3x3_phase_packed(y, w, b)  # (B, 112, 112, 128)
         a = nn.relu(phase_instance_norm_packed(z, g, be)).astype(self.dtype)
+        if self._cut(9):
+            return a
 
-        # layer10: 9x9 32->3 + IN + FiLM (no relu) in phase space
+        # layer10: 9x9 32->3 + IN + FiLM (no relu). ``l10_dp`` emits the
+        # conv DOUBLE-packed: (B, 56, 56, 48) — N=48 output lanes instead of
+        # 12 (2.8x less MXU padding tax) and the IN/FiLM/sigmoid tail runs at
+        # 48/128 instead of 12/128 lane occupancy.
         w, b, g, be = _PhaseLayerParams(3, 9, film=True,
                                         name="layer10")(32, styles)
+        if self.l10_dp and a.shape[1] % 2 == 0 and a.shape[2] % 2 == 0:
+            z = conv9x9_phase_dp(a, w, b)  # (B, 56, 56, 48)
+            z = phase_instance_norm_packed(z, g, be, phases=16)
+            z = nn.sigmoid(z.astype(jnp.float32))
+            return depth_to_space2(depth_to_space2(z))
         z = conv9x9_phase(a, w, b)  # (B, 112, 112, 12)
         z = phase_instance_norm_packed(z, g, be)
         return nn.sigmoid(depth_to_space2(z).astype(jnp.float32))

@@ -229,32 +229,34 @@ def upconv3x3_phase_packed(x, w, b=None):
     return y
 
 
-def phase_instance_norm_packed(z, gamma=None, beta=None, eps: float = 1e-5):
-    """Instance norm over packed phase channels (B, h, w, 4C): statistics
-    pool over (H, W) and the 4 phases — exactly the full-resolution
+def phase_instance_norm_packed(z, gamma=None, beta=None, eps: float = 1e-5,
+                               phases: int = 4):
+    """Instance norm over packed phase channels (B, h, w, phases*C):
+    statistics pool over (H, W) and the phases — exactly the full-resolution
     per-channel statistics — but every full-size elementwise op stays on the
-    packed 4-D layout (no 5-D relayout); only the (B, 4C) moment vectors are
-    reshaped to combine phases."""
-    b, h, w, c4 = z.shape
-    c = c4 // 4
+    packed 4-D layout (no 5-D relayout); only the (B, phases*C) moment
+    vectors are reshaped to combine phases. ``phases=16`` serves the
+    double-packed conv9x9_phase_dp output."""
+    b, h, w, cp = z.shape
+    c = cp // phases
     zf = z.astype(jnp.float32)
-    m1 = jnp.mean(zf, axis=(1, 2))                 # (B, 4C)
-    m2 = jnp.mean(jnp.square(zf), axis=(1, 2))     # (B, 4C)
-    mean = jnp.mean(m1.reshape(b, 4, c), axis=1)   # (B, C)
+    m1 = jnp.mean(zf, axis=(1, 2))                      # (B, phases*C)
+    m2 = jnp.mean(jnp.square(zf), axis=(1, 2))          # (B, phases*C)
+    mean = jnp.mean(m1.reshape(b, phases, c), axis=1)   # (B, C)
     # E[x^2]-E[x]^2 can go slightly negative in f32 for near-constant
     # channels with large mean (catastrophic cancellation) — clamp like
     # flax's _compute_stats does, or rsqrt returns NaN.
     var = jnp.maximum(
-        jnp.mean(m2.reshape(b, 4, c), axis=1) - jnp.square(mean), 0.0)
-    scale = jax.lax.rsqrt(var + eps)               # (B, C)
+        jnp.mean(m2.reshape(b, phases, c), axis=1) - jnp.square(mean), 0.0)
+    scale = jax.lax.rsqrt(var + eps)                    # (B, C)
     shift = -mean * scale
     if gamma is not None:
         scale = scale * gamma.astype(jnp.float32)
         shift = shift * gamma.astype(jnp.float32)
     if beta is not None:
         shift = shift + beta.astype(jnp.float32)
-    scale4 = jnp.tile(scale, (1, 4))[:, None, None, :]
-    shift4 = jnp.tile(shift, (1, 4))[:, None, None, :]
+    scale4 = jnp.tile(scale, (1, phases))[:, None, None, :]
+    shift4 = jnp.tile(shift, (1, phases))[:, None, None, :]
     return (zf * scale4 + shift4).astype(z.dtype)
 
 
@@ -327,6 +329,40 @@ def conv9x9_phase(x4, w, b=None):
     y = _conv(phase_pad_9x9(x4), phase_weights_9x9(w))
     if b is not None:
         y = y + jnp.tile(b.astype(y.dtype), 4)  # bias repeats per phase
+    return y
+
+
+def phase_weights_9x9_dp(w):
+    """(9,9,C,O) -> (6,6,4C,16O) stride-2 kernel emitting the DOUBLE-packed
+    (s2d of the phase) output: K2[qr+tr, qc+tc, :, (qr*2+qc)*4O + p] =
+    W1[tr, tc, :, p], where W1 is the 5x5 phase kernel. Each outer phase q
+    uses 25 of the 36 taps (the rest are zero): 36/25 extra MXU work buys
+    4x the output lanes (N = 16O instead of 4O)."""
+    w1 = phase_weights_9x9(w)  # (5, 5, 4C, 4O)
+    c4, o4 = w1.shape[2], w1.shape[3]
+    k2 = jnp.zeros((6, 6, c4, 4 * o4), w1.dtype)
+    for qr in range(2):
+        for qc in range(2):
+            q = qr * 2 + qc
+            k2 = k2.at[qr:qr + 5, qc:qc + 5, :,
+                       q * o4:(q + 1) * o4].add(w1)
+    return k2
+
+
+def conv9x9_phase_dp(x4, w, b=None):
+    """Reflect-pad-4 + 9x9 conv emitting the double-packed output.
+
+    x4: (B, h, w, 4C) s2d input. Returns (B, h/2, w/2, 16O) — the s2d of
+    conv9x9_phase's output (two depth_to_space2 calls give the full-res
+    image). For the Ghiasi output layer (O=3) this lifts the conv's N from
+    12 to 48 lanes (2.8x less MXU padding waste) and runs the IN/FiLM/
+    sigmoid tail at 48/128 instead of 12/128 lane occupancy."""
+    y = jax.lax.conv_general_dilated(
+        phase_pad_9x9(x4), phase_weights_9x9_dp(w).astype(x4.dtype),
+        window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 16)
     return y
 
 

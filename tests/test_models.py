@@ -199,6 +199,50 @@ class TestGhiasi:
         o2 = model.apply(v, x, s2)
         assert float(jnp.abs(o1 - o2).max()) > 1e-4
 
+    def test_tpu_opt_odd_size(self, key, rng):
+        """Odd / non-multiple-of-4 inputs (SPN's 227^2) route through the
+        phase path by reflect-padding to the next multiple of 4. Contract:
+        (a) output shape equals the plain lowering's 4*ceil(H/4) (the
+        reference ghiasi.py emits 228^2 from 227^2 too), (b) the padded
+        phase forward is EXACTLY the phase forward of the padded input
+        (which itself equals the plain lowering on that input — covered by
+        test_tpu_opt_phase_path_matches_plain). Pixel parity with plain-227
+        is NOT part of the contract: instance-norm statistics couple the
+        border band to every pixel, so different boundary handling diverges
+        under random weights."""
+        plain = Ghiasi()
+        opt = Ghiasi(tpu_opt=True)
+        x = jnp.asarray(rng.rand(2, 27, 31, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(2, 100).astype(np.float32) * 0.3)
+        v = plain.init({"params": key}, x[:1], s[:1])
+        with jax.default_matmul_precision("float32"):
+            ref_shape = plain.apply(v, x, s).shape
+            out = opt.apply(v, x, s)
+            xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)), mode="reflect")
+            ref = plain.apply(v, xp, s)
+        assert out.shape == ref_shape == (2, 28, 32, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_upto_prefix_hook(self, key, rng):
+        """Ghiasi(upto=k) returns stage k's activation in both lowerings —
+        the contract scripts/profile_prefix.py relies on to bisect the
+        PRODUCTION program."""
+        x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(1, 100).astype(np.float32) * 0.3)
+        v = Ghiasi().init({"params": key}, x, s)
+        for opt in (False, True):
+            shapes = [Ghiasi(tpu_opt=opt, upto=k).apply(v, x, s).shape
+                      for k in (0, 2, 7, 9)]
+            # phase path keeps packed layouts: same element counts, half
+            # resolution with 4x channels for l0/l9
+            if opt:
+                assert shapes == [(1, 16, 16, 128), (1, 8, 8, 128),
+                                  (1, 8, 8, 128), (1, 16, 16, 128)]
+            else:
+                assert shapes == [(1, 32, 32, 32), (1, 8, 8, 128),
+                                  (1, 8, 8, 128), (1, 32, 32, 32)]
+
     def test_tpu_opt_phase_path_matches_plain(self, key, rng):
         """The phase-space pipeline (tpu_opt=True, ops/phase_conv.py) is an
         exact algebraic rewrite: same params, same output."""

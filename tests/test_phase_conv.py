@@ -111,6 +111,36 @@ class TestConv9x9:
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=2e-5)
 
+    def test_double_packed_matches(self, rng, prec):
+        """conv9x9_phase_dp (stride-2 double-packed output, the Ghiasi l10
+        lowering) must equal the stride-1 phase conv after two d2s."""
+        from speedplusbaseline_tpu.ops.phase_conv import (
+            conv9x9_phase_dp,
+            phase_instance_norm_packed,
+        )
+
+        x = rng.rand(2, 20, 24, 3).astype(np.float32)
+        w = (rng.randn(9, 9, 3, 3) * 0.2).astype(np.float32)
+        b = rng.randn(3).astype(np.float32)
+
+        ref = conv_ref(reflect_pad(jnp.asarray(x), 4), w) + b
+        ydp = conv9x9_phase_dp(space_to_depth2(jnp.asarray(x)),
+                               jnp.asarray(w), jnp.asarray(b))
+        assert ydp.shape == (2, 5, 6, 48)
+        ours = depth_to_space2(depth_to_space2(ydp))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=2e-5)
+
+        # 16-phase IN == full-res IN
+        gamma = rng.rand(2, 3).astype(np.float32) + 0.5
+        beta = rng.randn(2, 3).astype(np.float32)
+        ref_in = instance_norm_film(ours, jnp.asarray(gamma),
+                                    jnp.asarray(beta))
+        our_in = depth_to_space2(depth_to_space2(phase_instance_norm_packed(
+            ydp, jnp.asarray(gamma), jnp.asarray(beta), phases=16)))
+        np.testing.assert_allclose(np.asarray(our_in), np.asarray(ref_in),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestPhaseInstanceNorm:
     def test_packed_matches_full_res(self, rng, prec):
