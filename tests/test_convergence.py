@@ -1,0 +1,39 @@
+"""Convergence proof: the full train -> EPnP -> SPEED-score loop OPTIMIZES.
+
+The 1-epoch CLI smoke (test_cli.py) only proves the loop *runs*; this trains
+KRN through scripts/convergence_run.run (the real train.py CLI path:
+loaders, augs, jitted step, per-epoch batched-EPnP validation, checkpoints)
+on the learnable fake dataset until the validation pose score drops. Loose
+bounds — the definitive 224^2 TPU curve is recorded in BASELINE.md
+(eR 123 deg -> ~1 deg class; reference behavior: train.py:125-158 driving
+inference.py:43-144).
+
+Kept CPU-sized: 96^2 input, 96 images, evaluated ON THE TRAIN SPLIT
+(memorization collapses orders of magnitude faster than generalization and
+exercises exactly the same eval plumbing; the unseen-split generalization
+curve is the BASELINE.md TPU run). The assertion is a RELATIVE collapse of
+the SPEED score (raw), immune to the absolute floor set by the tiny
+resolution.
+"""
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_krn_training_reduces_pose_error(tmp_path):
+    sys.path.insert(0, "scripts")
+    from convergence_run import run
+
+    curve = run(str(tmp_path), n_train=96, epochs=16, input_hw=96,
+                test_every=3,
+                extra=["--lr_decay_step", "50", "--test_csv", "train.csv"])
+    assert curve, "no validation records written"
+    epochs = sorted(curve)
+    speeds = [curve[e]["Valid/speed (raw) [-]"] for e in epochs]
+    first, best = speeds[0], min(speeds[1:])
+    # With random init the SPEED score starts ~O(2-4) (eR ~ 100 deg); a
+    # working optimization loop more than halves it while memorizing 96
+    # images for 16 epochs.
+    assert best < 0.5 * first, (epochs, speeds)
+    assert all(s > 0 for s in speeds)
