@@ -290,14 +290,36 @@ def phase_weights_9x9(w):
     return wc.reshape(5, 5, 4 * c, 4 * o)
 
 
+def _row_pad_strips_9x9(x4):
+    """The two 2-row pad strips (top, bottom) of the s2d-domain
+    reflect-pad-4: a full-res reflect-pad-4 keeps row parity (offset 4 is
+    even), so each phase pads from its OWN rows — but the mirror x(-a) flips
+    which row supplies the pad: even phases reflect around row 0 (rows
+    [2,1], numpy 'reflect'), odd phases around the half-sample (rows [1,0],
+    'symmetric'), and the two swap roles at the bottom edge. Selected with a
+    static channel-parity mask over the full 4C dim (no lane concat)."""
+    b, h, w, c4 = x4.shape
+    c = c4 // 4
+    is_py1 = ((jnp.arange(c4) // c) // 2 == 1).reshape(1, 1, 1, c4)
+    top = jnp.where(is_py1, x4[:, 1::-1], x4[:, 2:0:-1])
+    bot = jnp.where(is_py1, x4[:, h - 3:h - 1][:, ::-1],
+                    x4[:, h - 2:h][:, ::-1])
+    return top, bot
+
+
+def _col_pad_strips_9x9(t):
+    """Column analog of _row_pad_strips_9x9: (left, right) 2-col strips."""
+    b, h, w, c4 = t.shape
+    c = c4 // 4
+    is_px1 = ((jnp.arange(c4) // c) % 2 == 1).reshape(1, 1, 1, c4)
+    left = jnp.where(is_px1, t[:, :, 1::-1], t[:, :, 2:0:-1])
+    right = jnp.where(is_px1, t[:, :, w - 3:w - 1][:, :, ::-1],
+                      t[:, :, w - 2:w][:, :, ::-1])
+    return left, right
+
+
 def phase_pad_9x9(x4):
     """s2d-domain reflect-pad-4: (B, h, w, 4C) -> (B, h+4, w+4, 4C).
-
-    A full-res reflect-pad-4 keeps row parity (offset 4 is even), so each
-    phase block pads independently by 2 — but the mirror x(-a) flips which
-    row of the SAME phase supplies the pad: even phases reflect around row 0
-    (rows [2,1], numpy 'reflect'), odd phases around the half-sample (rows
-    [1,0], 'symmetric'), and the two swap roles at the bottom edge.
 
     Assembled as row/col STRIP concats over the full 4C channel dim with a
     static channel-parity select choosing each strip's source rows — no
@@ -305,18 +327,9 @@ def phase_pad_9x9(x4):
     TPU (the original 4-block form cost ~2 ms extra inside the Ghiasi l10
     stage at 112^2x128).
     """
-    b, h, w, c4 = x4.shape
-    c = c4 // 4
-    ch = jnp.arange(c4)
-    is_py1 = ((ch // c) // 2 == 1).reshape(1, 1, 1, c4)
-    is_px1 = ((ch // c) % 2 == 1).reshape(1, 1, 1, c4)
-
-    top = jnp.where(is_py1, x4[:, 1::-1], x4[:, 2:0:-1])
-    bot = jnp.where(is_py1, x4[:, h - 3:h - 1][:, ::-1], x4[:, h - 2:h][:, ::-1])
+    top, bot = _row_pad_strips_9x9(x4)
     t = jnp.concatenate([top, x4, bot], axis=1)
-    left = jnp.where(is_px1, t[:, :, 1::-1], t[:, :, 2:0:-1])
-    right = jnp.where(is_px1, t[:, :, w - 3:w - 1][:, :, ::-1],
-                      t[:, :, w - 2:w][:, :, ::-1])
+    left, right = _col_pad_strips_9x9(t)
     return jnp.concatenate([left, t, right], axis=2)
 
 
@@ -360,6 +373,98 @@ def conv9x9_phase_dp(x4, w, b=None):
     y = jax.lax.conv_general_dilated(
         phase_pad_9x9(x4), phase_weights_9x9_dp(w).astype(x4.dtype),
         window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), 16)
+    return y
+
+
+def conv9x9_phase_border(x4, w, b=None, dp: bool = False):
+    """conv9x9_phase / conv9x9_phase_dp computed as interior + border strips.
+
+    phase_pad_9x9 materializes the row-padded tensor and then the fully
+    padded tensor — two full-slab concat copies (~3x the input in HBM
+    traffic; on Ghiasi l10's (48, 112^2, 128) bf16 input that is ~480 MB of
+    pure pad assembly). Here the VALID interior conv reads ``x4`` directly
+    and only 6-row / 6-col strips are padded and convolved:
+
+        out = [ top band (full width, from a 6-row col-padded strip) ]
+              [ left 6-col strip | VALID interior conv | right strip  ]
+              [ bottom band                                           ]
+
+    Row/col concats of the OUTPUTS are cheap on TPU (only channel/lane-dim
+    concats force relayouts). Bitwise-identical math to the padded form
+    (same phase kernels, same taps); equivalence in tests/test_phase_conv.py.
+    """
+    if dp:
+        k, s, reps = phase_weights_9x9_dp(w), 2, 16
+    else:
+        k, s, reps = phase_weights_9x9(w), 1, 4
+    k = k.astype(x4.dtype)
+
+    def conv(v):
+        return jax.lax.conv_general_dilated(
+            v, k, window_strides=(s, s), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    top, bot = _row_pad_strips_9x9(x4)
+    strip_t = jnp.concatenate([top, x4[:, :4]], axis=1)    # 6 rows
+    strip_b = jnp.concatenate([x4[:, -4:], bot], axis=1)   # 6 rows
+    lt, rt = _col_pad_strips_9x9(strip_t)
+    lb, rb = _col_pad_strips_9x9(strip_b)
+    y_top = conv(jnp.concatenate([lt, strip_t, rt], axis=2))
+    y_bot = conv(jnp.concatenate([lb, strip_b, rb], axis=2))
+
+    lm, rm = _col_pad_strips_9x9(x4)
+    y_left = conv(jnp.concatenate([lm, x4[:, :, :4]], axis=2))   # 6 cols
+    y_right = conv(jnp.concatenate([x4[:, :, -4:], rm], axis=2))
+
+    mid = jnp.concatenate([y_left, conv(x4), y_right], axis=2)
+    y = jnp.concatenate([y_top, mid, y_bot], axis=1)
+    if b is not None:
+        y = y + jnp.tile(b.astype(y.dtype), reps)
+    return y
+
+
+def phase_weights_9x9_qp(w):
+    """(9,9,C,O) -> (3,3,16C,16O) consuming the DOUBLE-packed input
+    s2d(phase_pad_9x9(x4)) and emitting the double-packed output (the same
+    layout as conv9x9_phase_dp). From the 5x5 phase kernel W1: output outer
+    phase q at position n is Y4(2n+q) = sum_t W1[t] X4p(2n+q+t); writing
+    q + t = 2s + r maps tap t onto slot (s, input outer phase r), so
+    K[s_r, s_c, (r_r*2+r_c)*4C + i, (q_r*2+q_c)*4O + o] = W1[t_r, t_c, i, o]
+    with t = 2s + r - q (out of [0,5) -> zero). Fattens the Ghiasi l0 conv
+    from 12 to 48 input lanes at 1.44x the dense MACs."""
+    w1 = phase_weights_9x9(w)  # (5, 5, 4C, 4O)
+    c4, o4 = w1.shape[2], w1.shape[3]
+    k = jnp.zeros((3, 2, 3, 2, c4, 2, 2, o4), w1.dtype)
+    for qr in range(2):
+        for rr in range(2):
+            for sr in range(3):
+                tr = 2 * sr + rr - qr
+                if not 0 <= tr < 5:
+                    continue
+                for qc in range(2):
+                    for rc in range(2):
+                        for sc in range(3):
+                            tc = 2 * sc + rc - qc
+                            if not 0 <= tc < 5:
+                                continue
+                            k = k.at[sr, rr, sc, rc, :, qr, qc, :].set(
+                                w1[tr, tc])
+    k = k.transpose(0, 2, 1, 3, 4, 5, 6, 7)  # (sr, sc, rr, rc, 4C, qr, qc, 4O)
+    return k.reshape(3, 3, 4 * c4, 4 * o4)
+
+
+def conv9x9_phase_qp(x4, w, b=None):
+    """Reflect-pad-4 + 9x9 conv with BOTH sides double-packed: a 3x3 conv on
+    s2d(phase_pad_9x9(x4)) -> (B, h/2, w/2, 16O), identical layout to
+    conv9x9_phase_dp's output. Requires even h, w. For Ghiasi l0 (C=3) this
+    lifts the conv's input-channel lanes from 12 to 48."""
+    xp = phase_pad_9x9(x4)  # (h+4, w+4) — even when h, w are
+    y = jax.lax.conv_general_dilated(
+        space_to_depth2(xp), phase_weights_9x9_qp(w).astype(x4.dtype),
+        window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if b is not None:
         y = y + jnp.tile(b.astype(y.dtype), 16)

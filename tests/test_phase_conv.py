@@ -141,6 +141,48 @@ class TestConv9x9:
         np.testing.assert_allclose(np.asarray(our_in), np.asarray(ref_in),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_border_decomposition_matches(self, rng, prec):
+        """conv9x9_phase_border (interior VALID conv + 6-row/col pad strips,
+        no full-slab pad assembly) equals the padded forms exactly, for both
+        the stride-1 and the double-packed stride-2 kernels."""
+        from speedplusbaseline_tpu.ops.phase_conv import (
+            conv9x9_phase_border,
+            conv9x9_phase_dp,
+        )
+
+        x = rng.rand(2, 20, 24, 3).astype(np.float32)
+        w = (rng.randn(9, 9, 3, 4) * 0.2).astype(np.float32)
+        b = rng.randn(4).astype(np.float32)
+        x4 = space_to_depth2(jnp.asarray(x))
+
+        ref = conv9x9_phase(x4, jnp.asarray(w), jnp.asarray(b))
+        ours = conv9x9_phase_border(x4, jnp.asarray(w), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=2e-5)
+
+        refdp = conv9x9_phase_dp(x4, jnp.asarray(w), jnp.asarray(b))
+        oursdp = conv9x9_phase_border(x4, jnp.asarray(w), jnp.asarray(b),
+                                      dp=True)
+        np.testing.assert_allclose(np.asarray(oursdp), np.asarray(refdp),
+                                   rtol=1e-5, atol=2e-5)
+
+    def test_quad_packed_matches(self, rng, prec):
+        """conv9x9_phase_qp (double-packed input AND output, the l0 K-
+        fattening lowering) equals s2d of the stride-1 phase conv."""
+        from speedplusbaseline_tpu.ops.phase_conv import conv9x9_phase_qp
+
+        x = rng.rand(2, 20, 24, 3).astype(np.float32)
+        w = (rng.randn(9, 9, 3, 4) * 0.2).astype(np.float32)
+        b = rng.randn(4).astype(np.float32)
+        x4 = space_to_depth2(jnp.asarray(x))
+
+        ref = space_to_depth2(conv9x9_phase(x4, jnp.asarray(w),
+                                            jnp.asarray(b)))
+        ours = conv9x9_phase_qp(x4, jnp.asarray(w), jnp.asarray(b))
+        assert ours.shape == (2, 5, 6, 64)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=2e-5)
+
 
 class TestPhaseInstanceNorm:
     def test_packed_matches_full_res(self, rng, prec):
