@@ -20,13 +20,12 @@ The measurement here times the full jitted train step (augs + bernoulli-gated
 Ghiasi + fwd/bwd + optimizer update) with device-resident batches — the same
 steady state the reference's pipelined DataLoader aims for.
 
-Measured decomposition on TPU v5e (bf16, batch 48, 224^2; scripts/profile_one.py):
-  bare KRN fwd+bwd+update   5.6 ms  (8592 img/s)
-  on-device augmentations   1.8 ms
-  Ghiasi forward           27.6 ms  (reflect-pad ~8 ms: XLA can't fold it
-                                     into convs the way zero-pad folds)
-  full step, styleaug @1.0 42.5 ms; @0.5 the host-side gate alternates
-  styled/plain programs -> ~26 ms average -> ~1820 img/s/chip (4.0x).
+Measured decomposition on TPU v5e (bf16, batch 48, 224^2; fetch-synced
+protocol, CLAUDE.md; full tables in BASELINE.md):
+  bare KRN step (augs+fwd/bwd+adamw)  ~12.2 ms
+  Ghiasi forward (phase-space path)   ~12.8 ms  (plain lowering: 27.7)
+  plain step 13.4 ms / styled step 26.4 ms; @texture_ratio 0.5 the
+  host-side gate alternates programs -> ~2440 img/s/chip (~5.4x).
 """
 from __future__ import annotations
 

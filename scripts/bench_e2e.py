@@ -42,9 +42,8 @@ def main():
     import jax.numpy as jnp
 
     from speedplusbaseline_tpu.config import default_cfg
-    from speedplusbaseline_tpu.data import generate_fake_speedplus, make_dataloader
+    from speedplusbaseline_tpu.data import make_dataloader
     from speedplusbaseline_tpu.data.cache import build_cache
-    from speedplusbaseline_tpu.data.preprocess import json2csv
     from speedplusbaseline_tpu.engine import (
         build_optimizer,
         create_train_state,
@@ -54,11 +53,25 @@ def main():
 
     with tempfile.TemporaryDirectory() as tmp:
         print(f"generating {n_images} native-res JPEGs...", flush=True)
-        generate_fake_speedplus(tmp, num_train=n_images, num_test=4,
-                                width=1920, height=1200,
-                                domains=("synthetic",))
-        json2csv(tmp, "speedplus", "synthetic", "train.json",
-                 "splits_krn/train.csv", model_name="krn")
+        # Render in a CPU subprocess: the generator makes one tiny jax call
+        # per image, which crawls/stalls through the axon remote tunnel
+        # (CLAUDE.md TPU process hygiene).
+        import subprocess
+        gen = (
+            "import sys\n"
+            "from speedplusbaseline_tpu.data import generate_fake_speedplus\n"
+            "from speedplusbaseline_tpu.data.preprocess import json2csv\n"
+            "tmp, n = sys.argv[1], int(sys.argv[2])\n"
+            "generate_fake_speedplus(tmp, num_train=n, num_test=4,\n"
+            "                        width=1920, height=1200,\n"
+            "                        domains=('synthetic',))\n"
+            "json2csv(tmp, 'speedplus', 'synthetic', 'train.json',\n"
+            "         'splits_krn/train.csv', model_name='krn')\n"
+        )
+        subprocess.run(
+            [sys.executable, "-c", gen, tmp, str(n_images)], check=True,
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
         cache_dir = ""
         cache_build_s = None
