@@ -260,8 +260,9 @@ def _bench_dann():
 def _bench_spn():
     """SPN supervised step throughput at the reference's 227x227 recipe
     (src/nets/spn.py:126-131), plain and styled (trainer.py:68-69 applies
-    the styleAugmentor model-agnostically). 227 is odd, so the styled step
-    exercises the plain (non-phase) Ghiasi lowering."""
+    the styleAugmentor model-agnostically). 227 is odd: the styled step
+    exercises the phase path's reflect-pad-to-multiple-of-4 routing
+    (227 -> 228, the same output contract as the reference Ghiasi)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
