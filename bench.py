@@ -228,7 +228,10 @@ def _bench_dann():
     model = RevGrad(cfg.num_keypoints, dtype=jnp.bfloat16)
     tx = build_optimizer(cfg, steps_per_epoch=100)
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(model, tx, rng, jnp.zeros((1, *SHAPE, 3)))
+    # alpha=0.0 at init traces the GRL domain-classifier branch so its
+    # params exist (same as adapt.py:69-70).
+    state = create_train_state(model, tx, rng, jnp.zeros((1, *SHAPE, 3)),
+                               alpha=0.0)
     step = make_dann_train_step(model, tx, cfg)
 
     rs = np.random.RandomState(0)

@@ -33,17 +33,27 @@ def _default_camera(width: int, height: int):
 
 
 def _render(width, height, uv, rs):
-    """Noisy background + gaussian blob per keypoint, distinct intensities."""
+    """Noisy background + gaussian blob per keypoint, one UNIQUE hue each.
+
+    Unique colors make the keypoint-identification task well-posed (the real
+    SPEED+ target is identifiable from its asymmetric texture). An earlier
+    version cycled 3 colors (``i % 3``), which left keypoints within a color
+    group distinguishable only by constellation geometry — ambiguous views
+    produced within-group correspondence swaps, and EPnP with swapped
+    correspondences yields catastrophic (>90 deg) pose outliers on the
+    convergence runs.
+    """
+    import colorsys
+
     img = (rs.rand(height, width, 3) * 40).astype(np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     k = uv.shape[1]
     for i in range(k):
         u, v = uv[0, i], uv[1, i]
         blob = np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2.0 * 2.5**2))
-        color = np.array([120 + 135 * (i % 3 == 0),
-                          120 + 135 * (i % 3 == 1),
-                          120 + 135 * (i % 3 == 2)], dtype=np.float32) / 255.0
-        img += blob[..., None] * color[None, None] * 255.0
+        color = np.array(colorsys.hsv_to_rgb(i / max(k, 1), 1.0, 1.0),
+                         dtype=np.float32)
+        img += blob[..., None] * (0.35 + 0.65 * color[None, None]) * 255.0
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
