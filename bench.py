@@ -132,9 +132,11 @@ def _host_loader_rates(n_images: int = 48):
             boxes = m.rand_boxes(rs, n_images)
             native = m.bench_native(paths, boxes)
             python = m.bench_python(paths, boxes)
+            cached = m.bench_python_cached(tmp, paths, boxes)
         return {
             "host_native_img_s_per_worker": round(native, 1) if native else None,
             "host_python_img_s_per_worker": round(python, 1),
+            "host_cached_img_s_per_worker": round(cached, 1),
             "host_cores": os.cpu_count(),
         }
     except Exception as e:  # pragma: no cover - best effort

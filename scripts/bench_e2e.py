@@ -11,9 +11,12 @@ bench_host_loader.py per-worker rate (~30 img/s); the TPU step itself
 sustains ~2400 img/s (bench.py), so the from-disk number here measures the
 host, not the chip — see BASELINE.md for the scaling analysis.
 
-Usage: python scripts/bench_e2e.py [num_images] [epochs] [cache|nocache|both]
+Usage: python scripts/bench_e2e.py [num_images] [epochs] [cache|nocache|both] [root]
 ``cache`` builds the pre-decoded RoI cache (data/cache.py) first and feeds
 the loader through --cache_dir — the shipped cure for the host bottleneck.
+``root`` keeps the generated dataset across invocations (generation of the
+native-res JPEGs takes minutes on a 1-core host; a remote-compile stall
+shouldn't force a re-render).
 """
 from __future__ import annotations
 
@@ -37,6 +40,7 @@ def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     mode = sys.argv[3] if len(sys.argv) > 3 else "both"
+    root = sys.argv[4] if len(sys.argv) > 4 else ""
 
     import jax
     import jax.numpy as jnp
@@ -51,40 +55,50 @@ def main():
     )
     from speedplusbaseline_tpu.models import KeypointRegressionNet
 
-    with tempfile.TemporaryDirectory() as tmp:
-        print(f"generating {n_images} native-res JPEGs...", flush=True)
-        # Render in a CPU subprocess: the generator makes one tiny jax call
-        # per image, which crawls/stalls through the axon remote tunnel
-        # (CLAUDE.md TPU process hygiene).
-        import subprocess
-        gen = (
-            "import sys\n"
-            "from speedplusbaseline_tpu.data import generate_fake_speedplus\n"
-            "from speedplusbaseline_tpu.data.preprocess import json2csv\n"
-            "tmp, n = sys.argv[1], int(sys.argv[2])\n"
-            "generate_fake_speedplus(tmp, num_train=n, num_test=4,\n"
-            "                        width=1920, height=1200,\n"
-            "                        domains=('synthetic',))\n"
-            "json2csv(tmp, 'speedplus', 'synthetic', 'train.json',\n"
-            "         'splits_krn/train.csv', model_name='krn')\n"
-        )
-        subprocess.run(
-            [sys.executable, "-c", gen, tmp, str(n_images)], check=True,
-            env=dict(os.environ, JAX_PLATFORMS="cpu"),
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import contextlib
+    if root:
+        os.makedirs(root, exist_ok=True)
+        ctx = contextlib.nullcontext(root)
+    else:
+        ctx = tempfile.TemporaryDirectory()
+    with ctx as tmp:
+        train_csv = os.path.join(tmp, "speedplus", "synthetic",
+                                 "splits_krn", "train.csv")
+        if not os.path.exists(train_csv):
+            print(f"generating {n_images} native-res JPEGs...", flush=True)
+            # Render in a CPU subprocess: the generator makes one tiny jax
+            # call per image, which crawls/stalls through the axon remote
+            # tunnel (CLAUDE.md TPU process hygiene).
+            import subprocess
+            gen = (
+                "import sys\n"
+                "from speedplusbaseline_tpu.data import generate_fake_speedplus\n"
+                "from speedplusbaseline_tpu.data.preprocess import json2csv\n"
+                "tmp, n = sys.argv[1], int(sys.argv[2])\n"
+                "generate_fake_speedplus(tmp, num_train=n, num_test=4,\n"
+                "                        width=1920, height=1200,\n"
+                "                        domains=('synthetic',))\n"
+                "json2csv(tmp, 'speedplus', 'synthetic', 'train.json',\n"
+                "         'splits_krn/train.csv', model_name='krn')\n"
+            )
+            subprocess.run(
+                [sys.executable, "-c", gen, tmp, str(n_images)], check=True,
+                env=dict(os.environ, JAX_PLATFORMS="cpu"),
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
         cache_dir = ""
         cache_build_s = None
         if mode in ("cache", "both"):
             cache_dir = os.path.join(tmp, "roi_cache")
-            t0 = time.perf_counter()
-            build_cache(tmp, "speedplus", "synthetic",
-                        [os.path.join(tmp, "speedplus", "synthetic",
-                                      "splits_krn", "train.csv")],
-                        cache_dir, cache_size=512)
-            cache_build_s = time.perf_counter() - t0
-            print(f"cache built in {cache_build_s:.1f}s (one-time)",
-                  flush=True)
+            manifest = os.path.join(cache_dir, "speedplus", "synthetic",
+                                    "cache_manifest.csv")
+            if not os.path.exists(manifest):
+                t0 = time.perf_counter()
+                build_cache(tmp, "speedplus", "synthetic", [train_csv],
+                            cache_dir, cache_size=512)
+                cache_build_s = time.perf_counter() - t0
+                print(f"cache built in {cache_build_s:.1f}s (one-time)",
+                      flush=True)
 
         def measure(cdir):
             cfg = default_cfg(
@@ -123,7 +137,8 @@ def main():
         if mode in ("cache", "both"):
             print("from-disk, RoI cache:", flush=True)
             out["e2e_cached_img_s"] = round(measure(cache_dir), 1)
-            out["cache_build_s"] = round(cache_build_s, 1)
+            if cache_build_s is not None:
+                out["cache_build_s"] = round(cache_build_s, 1)
         print(json.dumps(out))
 
 

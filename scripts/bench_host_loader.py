@@ -97,6 +97,48 @@ def bench_python(paths, boxes):
     return len(paths) / dt
 
 
+def bench_python_cached(tmp, paths, boxes):
+    """Per-worker rate through the pre-decoded RoI cache (data/cache.py) —
+    the shipped cure for the full-frame decode bottleneck. Builds the cache
+    (one-time offline cost, excluded from the rate) and times decode+crop of
+    the ~10x-smaller cached images exactly as the dataset path does."""
+    from speedplusbaseline_tpu.data.cache import (
+        build_cache,
+        load_manifest,
+        to_cache_coords,
+    )
+    from speedplusbaseline_tpu.data.csv_dataset import _imread
+    from speedplusbaseline_tpu.data.transforms import random_crop
+
+    dataroot = osp.join(tmp, "speedplus")
+    rels, rows = [], []
+    for p, (x, y, s, _) in zip(paths, boxes):
+        rel = osp.relpath(p, dataroot)
+        rels.append(rel)
+        rows.append(",".join(str(v) for v in
+                             [rel, x, x + s, y, y + s] + [0.0] * 29))
+    csv_path = osp.join(tmp, "cache_bench.csv")
+    with open(csv_path, "w") as f:
+        f.write("\n".join(rows))
+    cache_dir = osp.join(tmp, "roi_cache")
+    build_cache(tmp, "speedplus", "synthetic", [csv_path], cache_dir)
+    manifest = load_manifest(cache_dir, "speedplus", "synthetic")
+
+    rng = np.random.Generator(np.random.Philox(7))
+    kp = np.zeros((2, 11), np.float32)
+    for rel in rels[:4]:  # warmup
+        _imread(manifest[rel][0])
+    t0 = time.perf_counter()
+    for rel, (x, y, s, _) in zip(rels, boxes):
+        entry = manifest[rel]
+        img = _imread(entry[0])
+        bbox = np.array([x, x + s, y, y + s], np.float32)
+        b, k = to_cache_coords(entry, bbox, kp)
+        crop, _, _ = random_crop(rng, img, b, k, CROP, True)
+    dt = time.perf_counter() - t0
+    return len(paths) / dt
+
+
 def bench_dataloader(tmp, paths, boxes, use_native):
     """Full DataLoader path over a generated CSV (KRN schema)."""
     from speedplusbaseline_tpu.config import default_cfg
@@ -138,11 +180,13 @@ def main():
 
         native = bench_native(paths, boxes)
         python = bench_python(paths, boxes)
+        cached = bench_python_cached(tmp, paths, boxes)
         dl = bench_dataloader(tmp, paths, boxes, use_native=native is not None)
 
     print(json.dumps({
         "native_img_s_per_worker": round(native, 1) if native else None,
         "python_img_s_per_worker": round(python, 1),
+        "cached_img_s_per_worker": round(cached, 1),
         "dataloader_img_s": round(dl, 1),
         "host_cores": os.cpu_count(),
     }))

@@ -71,7 +71,10 @@ def random_crop(rng: np.random.Generator, image: np.ndarray, bbox, keypts,
         image: (H, W, 3) uint8. bbox: [xmin, xmax, ymin, ymax] pixels.
         keypts: (2, K) pixel coords (zeros when unlabeled).
     Returns:
-        (crop float32 (h, w, 3) in [0,1], bbox float32 (4,), keypts float32 (2, K))
+        (crop uint8 (h, w, 3), bbox float32 (4,), keypts float32 (2, K))
+    Crops stay uint8 so the H2D copy ships 4x fewer bytes; the [0,1]
+    normalization (reference ToTensor, transforms.py:192-196) runs on-device
+    in the jitted step (engine/steps.py _images_to_float).
     """
     org_h, org_w = image.shape[:2]
     cxmin, cxmax, cymin, cymax = crop_params(rng, bbox, org_w, org_h, is_train)
@@ -83,12 +86,13 @@ def random_crop(rng: np.random.Generator, image: np.ndarray, bbox, keypts,
 
     crop = image[cymin:cymax, cxmin:cxmax]
     crop = _resize(crop, out_shape)
-    return crop.astype(np.float32) / 255.0, new_bbox, keypts
+    return np.ascontiguousarray(crop, dtype=np.uint8), new_bbox, keypts
 
 
 def resize_crop(image: np.ndarray, bbox, out_shape: Tuple[int, int]):
     """SPN crop (reference ResizeCrop, transforms.py:166-190): clamp the bbox
-    to the frame, crop-resize, return the ORIGINAL (unclamped) bbox."""
+    to the frame, crop-resize, return the ORIGINAL (unclamped) bbox.
+    Crop stays uint8 (see random_crop)."""
     org_h, org_w = image.shape[:2]
     xmin, xmax, ymin, ymax = [float(v) for v in bbox]
     cxmin = max(0, int(xmin))
@@ -97,4 +101,5 @@ def resize_crop(image: np.ndarray, bbox, out_shape: Tuple[int, int]):
     cymax = min(org_h, int(ymax))
     crop = image[cymin:cymax, cxmin:cxmax]
     crop = _resize(crop, out_shape)
-    return crop.astype(np.float32) / 255.0, np.asarray(bbox, dtype=np.float32)
+    return (np.ascontiguousarray(crop, dtype=np.uint8),
+            np.asarray(bbox, dtype=np.float32))

@@ -27,6 +27,17 @@ from ..models.revgrad import bce_with_logits
 from ..models.spn import spn_loss
 
 
+def _images_to_float(images):
+    """The loader ships uint8 pixels (4x less H2D/DCN traffic than f32 —
+    minimizing host->device transfer is a first-order TPU concern); the
+    [0,1] normalization the reference does on the host (transforms.py:192-196
+    ToTensor) happens here on-device. Float inputs (device-resident benches,
+    tests) pass through unchanged."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) * (1.0 / 255.0)
+    return images
+
+
 def _apply_train(model, params, batch_stats, *args, rngs=None, **kwargs):
     """model.apply in train mode with mutable batch stats."""
     variables = {"params": params}
@@ -57,7 +68,7 @@ def make_krn_train_step(model, tx, cfg, style_aug=None):
         rng = jax.random.fold_in(rng, state.step)
         aug_key, style_key = jax.random.split(rng)
 
-        images, keypts = batch["image"], batch["keypts"]
+        images, keypts = _images_to_float(batch["image"]), batch["keypts"]
         # Per-sample geometric+photometric augs (transforms.py:198-211).
         keys = jax.random.split(aug_key, images.shape[0])
         images, keypts = jax.vmap(
@@ -102,7 +113,7 @@ def make_spn_train_step(model, tx, cfg, style_aug=None):
         rng = jax.random.fold_in(rng, state.step)
         style_key, dropout_key = jax.random.split(rng)
 
-        images = batch["image"]
+        images = _images_to_float(batch["image"])
         if styled:
             images = style_aug(style_params, style_key, images).astype(
                 images.dtype)
@@ -145,7 +156,8 @@ def make_dann_train_step(model, tx, cfg):
         rng = jax.random.fold_in(rng, state.step)
         src_key, tgt_key = jax.random.split(rng)
 
-        src_images, keypts = source_batch["image"], source_batch["keypts"]
+        src_images = _images_to_float(source_batch["image"])
+        keypts = source_batch["keypts"]
         keys = jax.random.split(src_key, src_images.shape[0])
         src_images, keypts = jax.vmap(
             functools.partial(augment_sample, p=0.5))(keys, src_images, keypts)
@@ -154,7 +166,7 @@ def make_dann_train_step(model, tx, cfg):
         # (build.py:45-53), so the same Rotate/Flip/BC/Noise stack runs on
         # target images too — with dummy zero keypoints, exactly like
         # Park2019KRNDataset.py:92-98 feeds zeros through the remapping.
-        tgt_images = target_batch["image"]
+        tgt_images = _images_to_float(target_batch["image"])
         tgt_keys = jax.random.split(tgt_key, tgt_images.shape[0])
         dummy_kp = jnp.zeros((tgt_images.shape[0], 2, keypts.shape[-1]),
                              keypts.dtype)
@@ -205,7 +217,8 @@ def make_krn_eval_step(model, corners3d, camera_matrix, dist_coeffs):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        xc, yc = model.apply(variables, batch["image"], train=False)
+        xc, yc = model.apply(variables, _images_to_float(batch["image"]),
+                             train=False)
         q_pr, t_pr = keypoints_to_pose(xc, yc, batch["bbox"], corners3d,
                                        camera_matrix, dist_coeffs)
         m = speed_score_batched(t_pr, q_pr, batch["t_gt"], batch["q_gt"])
@@ -227,7 +240,8 @@ def make_spn_eval_step(model, q_class, corners3d, camera_matrix, dist_coeffs,
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        _, weights = model.apply(variables, batch["image"], train=False)
+        _, weights = model.apply(variables, _images_to_float(batch["image"]),
+                                 train=False)
         top_w, top_c = jax.lax.top_k(weights, num_neighbors)
         top_w = jax.nn.softmax(top_w, axis=1)
         qs = q_class[top_c]  # (B, k, 4)

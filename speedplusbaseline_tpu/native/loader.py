@@ -28,7 +28,7 @@ def _load():
     lib.decode_crop_resize_file.argtypes = [
         ctypes.c_char_p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_float, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.decode_crop_resize_file.restype = ctypes.c_int
     lib.image_size_file.argtypes = [
@@ -56,22 +56,24 @@ def image_size(path: str) -> Tuple[int, int]:
 
 
 def decode_crop_resize(path: str, crop_box, out_hw: Tuple[int, int]) -> np.ndarray:
-    """Fused decode + crop + bilinear resize -> (H, W, 3) float32 in [0,1].
+    """Fused decode + crop + bilinear resize -> (H, W, 3) uint8 RGB.
 
+    uint8 keeps the host->device copy 4x smaller than float32; the [0,1]
+    normalization runs on-device (engine/steps.py _images_to_float).
     crop_box: (xmin, ymin, width, height) in original pixels, or None for the
     full frame. Uses libjpeg DCT-domain downscaling when the crop is much
     larger than the output.
     """
     lib = _load()
     h, w = out_hw
-    out = np.empty((h, w, 3), dtype=np.float32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
     if crop_box is None:
         xmin = ymin = cw = ch = -1.0
     else:
         xmin, ymin, cw, ch = [float(v) for v in crop_box]
     rc = lib.decode_crop_resize_file(
         path.encode(), xmin, ymin, cw, ch, w, h,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise IOError(f"decode_crop_resize_file({path}) failed: {rc}")
     return out

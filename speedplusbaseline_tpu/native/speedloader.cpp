@@ -5,8 +5,9 @@
 // (reference src/datasets/build.py:45-66). TPU hosts feed a much faster chip,
 // so the decode path must be native: this library fuses JPEG decode (libjpeg,
 // with optional DCT-domain downscaling), RoI crop, and bilinear resize into a
-// single C call that writes float32 [0,1] HWC directly into a caller-owned
-// buffer. Python calls it through ctypes from a thread pool — the call
+// single C call that writes uint8 HWC directly into a caller-owned buffer
+// (uint8 so the host->device copy ships 4x fewer bytes than float32; the
+// [0,1] normalization runs on-device). Python calls it through ctypes — the call
 // releases the GIL, so decode scales across host cores without pickling or
 // worker processes.
 //
@@ -91,10 +92,10 @@ int decode_rgb(const uint8_t* data, size_t len, int min_scale_w, int min_scale_h
 }
 
 // Bilinear sample of the crop rect [x0, x0+cw) x [y0, y0+ch) from an RGB8
-// image (with edge clamping), resized to (out_w, out_h), float32 [0,1].
+// image (with edge clamping), resized to (out_w, out_h), rounded to uint8.
 void crop_resize_bilinear(const uint8_t* img, int w, int h,
                           float x0, float y0, float cw, float ch,
-                          int out_w, int out_h, float* out) {
+                          int out_w, int out_h, uint8_t* out) {
   const float sx = cw / out_w;
   const float sy = ch / out_h;
   for (int oy = 0; oy < out_h; ++oy) {
@@ -116,11 +117,11 @@ void crop_resize_bilinear(const uint8_t* img, int w, int h,
       const uint8_t* p01 = img + ((size_t)iy0 * w + ix1) * 3;
       const uint8_t* p10 = img + ((size_t)iy1 * w + ix0) * 3;
       const uint8_t* p11 = img + ((size_t)iy1 * w + ix1) * 3;
-      float* dst = out + ((size_t)oy * out_w + ox) * 3;
+      uint8_t* dst = out + ((size_t)oy * out_w + ox) * 3;
       for (int c = 0; c < 3; ++c) {
         float top = p00[c] * (1.0f - wx) + p01[c] * wx;
         float bot = p10[c] * (1.0f - wx) + p11[c] * wx;
-        dst[c] = (top * (1.0f - wy) + bot * wy) * (1.0f / 255.0f);
+        dst[c] = (uint8_t)(top * (1.0f - wy) + bot * wy + 0.5f);
       }
     }
   }
@@ -143,10 +144,10 @@ int read_file(const char* path, std::vector<uint8_t>* buf) {
 extern "C" {
 
 // Crop rect given in ORIGINAL image pixel coordinates; handles the DCT-scale
-// factor internally. Output: out_h x out_w x 3 float32 in [0,1].
+// factor internally. Output: out_h x out_w x 3 uint8 RGB.
 int decode_crop_resize_mem(const uint8_t* data, size_t len,
                            float xmin, float ymin, float cw, float ch,
-                           int out_w, int out_h, float* out) {
+                           int out_w, int out_h, uint8_t* out) {
   // Minimum decoded size so the crop still has >= out resolution.
   int need_w = cw > 0 ? (int)(out_w * 1.0f) : out_w;
   int need_h = ch > 0 ? (int)(out_h * 1.0f) : out_h;
@@ -195,7 +196,7 @@ int decode_crop_resize_mem(const uint8_t* data, size_t len,
 
 int decode_crop_resize_file(const char* path,
                             float xmin, float ymin, float cw, float ch,
-                            int out_w, int out_h, float* out) {
+                            int out_w, int out_h, uint8_t* out) {
   std::vector<uint8_t> buf;
   if (read_file(path, &buf) != 0) return -1;
   return decode_crop_resize_mem(buf.data(), buf.size(), xmin, ymin, cw, ch,

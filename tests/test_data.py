@@ -82,8 +82,9 @@ class TestTransforms:
         bbox = [30, 70, 20, 60]
         kp = np.array([[40.0, 50.0], [30.0, 40.0]])  # (2, 2) two keypoints
         crop, new_bbox, kp_n = random_crop(gen, img, bbox, kp, (32, 32), True)
-        assert crop.shape == (32, 32, 3) and crop.dtype == np.float32
-        assert 0.0 <= crop.min() and crop.max() <= 1.0
+        # uint8 crop: the H2D copy ships bytes, [0,1] normalization is
+        # on-device (engine/steps.py _images_to_float)
+        assert crop.shape == (32, 32, 3) and crop.dtype == np.uint8
         # keypoints renormalized consistently with the returned crop box
         np.testing.assert_allclose(
             kp_n[0], (kp[0] - new_bbox[0]) / (new_bbox[1] - new_bbox[0]), atol=1e-5)
@@ -193,7 +194,9 @@ class TestNativeDatasetPath:
         a = ds_py.__getitem__(1, epoch=2)
         b = ds_nat.__getitem__(1, epoch=2)
         np.testing.assert_allclose(a["keypts"], b["keypts"], atol=1e-5)
-        assert np.abs(a["image"] - b["image"]).mean() < 0.02
+        diff = np.abs(a["image"].astype(np.float32)
+                      - b["image"].astype(np.float32)) / 255.0
+        assert diff.mean() < 0.02
 
 
 class TestNativeLoader:
@@ -217,8 +220,9 @@ class TestNativeLoader:
 
         full = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         ref = cv2.resize(full[10:90, 10:110], (64, 64),
-                         interpolation=cv2.INTER_LINEAR).astype(np.float32) / 255.0
-        assert np.abs(out - ref).mean() < 0.02  # decode/resample tolerance
+                         interpolation=cv2.INTER_LINEAR)
+        diff = np.abs(out.astype(np.float32) - ref.astype(np.float32)) / 255.0
+        assert diff.mean() < 0.02  # decode/resample tolerance
 
 
 class TestRoICache:
@@ -250,7 +254,9 @@ class TestRoICache:
             # identical normalized keypoints (linear coordinate change is
             # exact; only resampling differs), visually-equal crops
             np.testing.assert_allclose(a["keypts"], b["keypts"], atol=2e-2)
-            assert np.abs(a["image"] - b["image"]).mean() < 0.03
+            diff = np.abs(a["image"].astype(np.float32)
+                          - b["image"].astype(np.float32)) / 255.0
+            assert diff.mean() < 0.03
 
     def test_eval_bbox_in_original_pixels(self, fake_root, cache_root):
         ds0 = KRNDataset(make_cfg(fake_root), is_train=False, is_source=False)
@@ -261,7 +267,9 @@ class TestRoICache:
         # eval crop is deterministic -> same crop box, original-pixel frame
         np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1.5)
         np.testing.assert_allclose(a["q_gt"], b["q_gt"])
-        assert np.abs(a["image"] - b["image"]).mean() < 0.03
+        diff = np.abs(a["image"].astype(np.float32)
+                      - b["image"].astype(np.float32)) / 255.0
+        assert diff.mean() < 0.03
 
     def test_missing_manifest_falls_back(self, fake_root, tmp_path):
         ds = KRNDataset(make_cfg(fake_root, cache_dir=str(tmp_path)),

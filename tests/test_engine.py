@@ -133,6 +133,40 @@ class TestKRNTrainStep:
         bs1 = jax.tree_util.tree_leaves(state.batch_stats)[0]
         assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
 
+    def test_uint8_batch_matches_float(self, rng):
+        """The loader ships uint8 images (4x smaller H2D copies); the step
+        normalizes on-device (steps.py _images_to_float). A uint8 batch must
+        match the equivalent pre-normalized f32 batch to float rounding (the
+        two dtypes trace separate XLA programs, so fusion reassociation and
+        the 1-ulp x*(1/255) vs x/255 difference preclude bit equality).
+        Compared on loss and BN batch stats — smooth functions of the input;
+        adamw's params after one step are ±lr*sign(grad), which amplifies
+        ulp-level noise on near-zero gradients to full sign flips."""
+        cfg = tiny_cfg()
+        model = KeypointRegressionNet(cfg.num_keypoints)
+        tx = build_optimizer(cfg, steps_per_epoch=100)
+        key = jax.random.PRNGKey(0)
+        step = make_krn_train_step(model, tx, cfg, style_aug=None)
+
+        img_u8 = (rng.rand(4, 64, 64, 3) * 255).astype(np.uint8)
+        kp = jnp.asarray(rng.rand(4, 2, 11).astype(np.float32))
+        b_u8 = {"image": jnp.asarray(img_u8), "keypts": kp}
+        b_f32 = {"image": jnp.asarray(img_u8.astype(np.float32) / 255.0),
+                 "keypts": kp}
+
+        s0 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        s1 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)))
+        s0, m0 = step(s0, b_u8, key, None)
+        s1, m1 = step(s1, b_f32, key, None)
+        assert abs(float(m0["loss_x"]) - float(m1["loss_x"])) < 1e-3 * (
+            1.0 + abs(float(m1["loss_x"])))
+        assert abs(float(m0["loss_y"]) - float(m1["loss_y"])) < 1e-3 * (
+            1.0 + abs(float(m1["loss_y"])))
+        for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
+                        jax.tree_util.tree_leaves(s1.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_styleaug_gating_inside_step(self, rng):
         from speedplusbaseline_tpu.augment.styleaug import (
             StyleAugmentor,
