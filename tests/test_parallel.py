@@ -129,6 +129,102 @@ class TestDPStepEquivalence:
         assert worst < 1e-4, worst
 
 
+class TestDPStepEquivalenceSPN:
+    @pytest.mark.slow
+    def test_spn_sharded_step_matches_single_device(self, eight_devices, rng):
+        """SPN's step has no BatchNorm (LRN only) but adds dropout RNG: the
+        same PRNG key must produce the same masks (and thus identical
+        updates) whether the batch lives on 1 or 8 devices."""
+        from speedplusbaseline_tpu.engine import make_spn_train_step
+        from speedplusbaseline_tpu.models import SpacecraftPoseNet
+
+        cfg = default_cfg(batch_size=16, input_shape=(227, 227),
+                          model_name="spn", num_classes=50, optimizer="sgd",
+                          lr=1e-2, momentum=0.0, weight_decay=0.0)
+        model = SpacecraftPoseNet(cfg.num_classes)
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        key = jax.random.PRNGKey(0)
+
+        yc = np.zeros((16, 50), np.float32)
+        yc[:, :5] = 0.2
+        batch_np = {
+            "image": rng.rand(16, 227, 227, 3).astype(np.float32),
+            "y_classes": yc,
+            "y_weights": rng.rand(16, 50).astype(np.float32),
+        }
+        step = make_spn_train_step(model, tx, cfg, style_aug=None)
+
+        state1 = create_train_state(model, tx, key,
+                                    jnp.zeros((1, 227, 227, 3)))
+        state1, sm1 = step(state1,
+                           jax.tree_util.tree_map(jnp.asarray, batch_np),
+                           key, None)
+
+        mesh = make_mesh()
+        state8 = create_train_state(model, tx, key,
+                                    jnp.zeros((1, 227, 227, 3)))
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        state8, sm8 = step(state8, shard_batch(mesh, batch_np), key, None)
+
+        assert abs(float(sm1["loss_c"]) - float(sm8["loss_c"])) < 1e-3
+        p1 = jax.tree_util.tree_leaves(state1.params)
+        p8 = jax.tree_util.tree_leaves(state8.params)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
+        assert worst < 1e-4, worst
+
+
+class TestDPStepEquivalenceDANN:
+    @pytest.mark.slow
+    def test_dann_sharded_step_matches_single_device(self, eight_devices, rng):
+        """The DANN joint step (source pose loss + two gradient-reversed
+        domain BCE terms, one backward) under GSPMD: sharding both streams
+        over 8 devices must reproduce the single-device update, including
+        the global BatchNorm statistics of the shared backbone."""
+        from speedplusbaseline_tpu.engine import make_dann_train_step
+        from speedplusbaseline_tpu.models import RevGrad
+
+        cfg = default_cfg(batch_size=16, input_shape=(64, 64), dann=True,
+                          model_name="krn", optimizer="sgd", lr=1e-2,
+                          momentum=0.0, weight_decay=0.0)
+        model = RevGrad(cfg.num_keypoints)
+        tx = build_optimizer(cfg, steps_per_epoch=10)
+        key = jax.random.PRNGKey(0)
+
+        src_np = {
+            "image": rng.rand(16, 64, 64, 3).astype(np.float32),
+            "keypts": rng.rand(16, 2, 11).astype(np.float32),
+        }
+        tgt_np = {"image": rng.rand(16, 64, 64, 3).astype(np.float32)}
+        step = make_dann_train_step(model, tx, cfg)
+        alpha = np.float32(0.3)
+
+        state1 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)),
+                                    alpha=0.0)
+        state1, aux1 = step(state1,
+                            jax.tree_util.tree_map(jnp.asarray, src_np),
+                            jax.tree_util.tree_map(jnp.asarray, tgt_np),
+                            key, alpha)
+
+        mesh = make_mesh()
+        state8 = create_train_state(model, tx, key, jnp.zeros((1, 64, 64, 3)),
+                                    alpha=0.0)
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        state8, aux8 = step(state8, shard_batch(mesh, src_np),
+                            shard_batch(mesh, tgt_np), key, alpha)
+
+        for k in ("loss_pose", "loss_source", "loss_target"):
+            assert abs(float(aux1[k]) - float(aux8[k])) < 1e-3, k
+        p1 = jax.tree_util.tree_leaves(state1.params)
+        p8 = jax.tree_util.tree_leaves(state8.params)
+        worst = max(float(jnp.abs(a - b).max()) for a, b in zip(p1, p8))
+        assert worst < 1e-4, worst
+        bs1 = jax.tree_util.tree_leaves(state1.batch_stats)
+        bs8 = jax.tree_util.tree_leaves(state8.batch_stats)
+        worst_bs = max(float(jnp.abs(a - b).max())
+                       for a, b in zip(bs1, bs8))
+        assert worst_bs < 1e-4, worst_bs
+
+
 class TestEvalSharded:
     def test_eval_step_on_sharded_batch(self, eight_devices, rng, camera,
                                         tango_points):
