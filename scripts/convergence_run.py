@@ -5,10 +5,12 @@ images. The real SPEED+ data/weights are not in this environment, so this
 is the strongest obtainable evidence that the training loop optimizes
 (reference behavior: train.py:125-158 driving inference.py:43-144).
 
-Usage: python scripts/convergence_run.py [n_train] [epochs] [input] [test_every] [root] [extra flags...]
-Defaults: 384 images, 60 epochs, 224^2, eval every 10 epochs, temp dir.
-Arguments after ``root`` are forwarded verbatim to the train.py CLI (e.g.
-``--lr_decay_step 50`` to hold the reference recipe's per-epoch decay).
+Usage: python scripts/convergence_run.py [--n_train N] [--epochs E]
+    [--input HW] [--test_every K] [--root DIR] [--render_w W] [--render_h H]
+    [extra train.py flags...]
+Defaults: 384 images, 60 epochs, 224^2, eval every 10 epochs, temp dir,
+320x200 renders. Unrecognized arguments are forwarded verbatim to the
+train.py CLI (e.g. ``--lr_decay_step 50`` to hold the lr).
 Writes the eR/eT/speed curve to stdout and a JSON summary line at the end.
 Passing an explicit ``root`` keeps the dataset and checkpoints across
 invocations (train.py auto-resumes), so a remote-compile stall can be
@@ -33,8 +35,9 @@ _GEN = """
 import sys
 from speedplusbaseline_tpu.data import generate_fake_speedplus
 from speedplusbaseline_tpu.data.preprocess import json2csv
-root, n_train = sys.argv[1], int(sys.argv[2])
-generate_fake_speedplus(root, num_train=n_train, num_test=48)
+root, n_train, w, h = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+generate_fake_speedplus(root, num_train=n_train, num_test=48, width=w, height=h,
+                        domains=("synthetic",))
 json2csv(root, "speedplus", "synthetic", "train.json",
          "splits_krn/train.csv", model_name="krn")
 json2csv(root, "speedplus", "synthetic", "test.json",
@@ -42,24 +45,25 @@ json2csv(root, "speedplus", "synthetic", "test.json",
 """
 
 
-def _generate(root: str, n_train: int) -> None:
+def _generate(root: str, n_train: int, width: int, height: int) -> None:
     """Render the fake dataset in a CPU subprocess: the generator makes one
     tiny project_keypoints jax call per image, which is instant on CPU but
     crawls (or stalls) when dispatched through the TPU remote tunnel."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
-    subprocess.run([sys.executable, "-c", _GEN, root, str(n_train)],
+    subprocess.run([sys.executable, "-c", _GEN, root, str(n_train),
+                    str(width), str(height)],
                    check=True, env=env,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(root: str, n_train: int, epochs: int, input_hw: int,
-        test_every: int, extra=()) -> dict:
+        test_every: int, extra=(), width: int = 320, height: int = 200) -> dict:
     import train
     from speedplusbaseline_tpu.config import parse_cfg
 
     if not os.path.exists(os.path.join(
             root, "speedplus", "synthetic", "splits_krn", "train.csv")):
-        _generate(root, n_train)
+        _generate(root, n_train, width, height)
 
     cfg = parse_cfg([
         "--dataroot", root,
@@ -89,18 +93,28 @@ def run(root: str, n_train: int, epochs: int, input_hw: int,
 
 
 def main():
-    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 384
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 60
-    input_hw = int(sys.argv[3]) if len(sys.argv) > 3 else 224
-    test_every = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    import argparse
 
-    if len(sys.argv) > 5:
-        os.makedirs(sys.argv[5], exist_ok=True)
-        curve = run(sys.argv[5], n_train, epochs, input_hw, test_every,
-                    extra=sys.argv[6:])
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_train", type=int, default=384)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--input", type=int, default=224)
+    p.add_argument("--test_every", type=int, default=10)
+    p.add_argument("--root", type=str, default="")
+    p.add_argument("--render_w", type=int, default=320)
+    p.add_argument("--render_h", type=int, default=200)
+    args, extra = p.parse_known_args()
+    n_train, epochs, input_hw, test_every = (
+        args.n_train, args.epochs, args.input, args.test_every)
+
+    if args.root:
+        os.makedirs(args.root, exist_ok=True)
+        curve = run(args.root, n_train, epochs, input_hw, test_every,
+                    extra=extra, width=args.render_w, height=args.render_h)
     else:
         with tempfile.TemporaryDirectory() as tmp:
-            curve = run(tmp, n_train, epochs, input_hw, test_every)
+            curve = run(tmp, n_train, epochs, input_hw, test_every,
+                        extra=extra, width=args.render_w, height=args.render_h)
 
     print("epoch  eR[deg]   eT[m]    speed(raw)")
     for ep in sorted(curve):

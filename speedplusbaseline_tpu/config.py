@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "scripts/cache_dataset.py: loads ~0.5k^2 cached "
                              "crops instead of decoding 1920x1200 frames "
                              "(~10x host decode reduction)")
+    parser.add_argument("--save_epoch", type=int, default=1,
+                        help="Checkpoint every N epochs (always at the final "
+                             "epoch). 1 = the reference's per-epoch cadence "
+                             "(train.py:141-146); larger values cut the "
+                             "device->host state fetch on slow links")
 
     return parser
 

@@ -86,17 +86,25 @@ def generate_fake_speedplus(
         for split, n in (("train", num_train), ("test", num_test)):
             labels = []
             for i in range(n):
-                q = rs.randn(4)
-                q /= np.linalg.norm(q)
-                if q[0] < 0:
-                    q = -q
-                t = np.array([rs.uniform(-0.3, 0.3), rs.uniform(-0.2, 0.2),
-                              rs.uniform(3.0, 6.0)])
-                uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
-                # Keep targets fully inside the frame.
-                if (uv[0].min() < 8 or uv[0].max() > width - 8
-                        or uv[1].min() < 8 or uv[1].max() > height - 8):
-                    t[2] += 2.0
+                # Resample until the whole target is inside the frame: a
+                # truncated view leaves some keypoint blobs unrendered, which
+                # is unlearnable label noise (one such val image produced a
+                # catastrophic 172-deg EPnP outlier in the round-3
+                # convergence run — the old code nudged t_z once and never
+                # re-checked).
+                for _ in range(100):
+                    q = rs.randn(4)
+                    q /= np.linalg.norm(q)
+                    if q[0] < 0:
+                        q = -q
+                    t = np.array([rs.uniform(-0.3, 0.3), rs.uniform(-0.2, 0.2),
+                                  rs.uniform(3.0, 6.0)])
+                    uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
+                    if (uv[0].min() >= 8 and uv[0].max() <= width - 8
+                            and uv[1].min() >= 8 and uv[1].max() <= height - 8):
+                        break
+                else:
+                    t[2] += 4.0  # pathological camera geometry: back way off
                     uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
                 fname = f"{domain}_{split}_img{i:06d}.jpg"
                 img = _render(width, height, uv, rs)

@@ -177,9 +177,10 @@ def main(cfg=None):
         is_best = perf > best_perf
         if is_best:
             best_perf = perf
-        save_checkpoint(
-            state.as_checkpoint_dict(epoch + 1, cfg.model_name, best_perf),
-            is_best, cfg.savedir)
+        if (epoch + 1) % cfg.save_epoch == 0 or epoch + 1 == cfg.max_epochs:
+            save_checkpoint(
+                state.as_checkpoint_dict(epoch + 1, cfg.model_name, best_perf),
+                is_best, cfg.savedir)
 
     if profiling:
         jax.profiler.stop_trace()
