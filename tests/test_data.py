@@ -36,6 +36,32 @@ def make_cfg(fake_root, **kw):
 
 
 class TestPreprocess:
+    def test_fake_targets_fully_in_frame(self, fake_root):
+        """Every generated pose must project all keypoints inside the frame
+        (margin 8 px): a truncated target leaves blobs unrendered, which is
+        unlearnable label noise — one such image caused a catastrophic
+        172-deg EPnP outlier in the round-3 convergence run. The generator
+        now resamples poses until the projection fits."""
+        import json as _json
+
+        from speedplusbaseline_tpu.geometry.projection import project_keypoints
+        from speedplusbaseline_tpu.io_utils.assets import load_tango_3d_keypoints
+
+        root = os.path.join(fake_root, "speedplus")
+        cam = _json.load(open(os.path.join(root, "camera.json")))
+        K = np.array(cam["cameraMatrix"])
+        D = np.array(cam["distCoeffs"])
+        k3d = load_tango_3d_keypoints()
+        w, h = 2 * K[0, 2], 2 * K[1, 2]
+        for split in ("train", "test"):
+            for rec in _json.load(open(os.path.join(root, "synthetic",
+                                                    f"{split}.json"))):
+                uv = np.asarray(project_keypoints(
+                    np.array(rec["q_vbs2tango_true"]),
+                    np.array(rec["r_Vo2To_vbs_true"]), K, D, k3d))
+                assert uv[0].min() >= 8 and uv[0].max() <= w - 8, rec
+                assert uv[1].min() >= 8 and uv[1].max() <= h - 8, rec
+
     def test_csv_schema_krn(self, fake_root):
         import pandas as pd
 
