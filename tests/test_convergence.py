@@ -5,8 +5,8 @@ KRN through scripts/convergence_run.run (the real train.py CLI path:
 loaders, augs, jitted step, per-epoch batched-EPnP validation, checkpoints)
 on the learnable fake dataset until the validation pose score drops. Loose
 bounds — the definitive 224^2 TPU curve is recorded in BASELINE.md
-(eR 123 deg -> ~1 deg class; reference behavior: train.py:125-158 driving
-inference.py:43-144).
+(unseen-split eR ~100 deg -> median 1.9 deg; reference behavior:
+train.py:125-158 driving inference.py:43-144).
 
 Kept CPU-sized: 96^2 input, 96 images, evaluated ON THE TRAIN SPLIT
 (memorization collapses orders of magnitude faster than generalization and
