@@ -18,7 +18,10 @@ styleaug at texture_ratio=0.5:
 
 The measurement here times the full jitted train step (augs + bernoulli-gated
 Ghiasi + fwd/bwd + optimizer update) with device-resident batches — the same
-steady state the reference's pipelined DataLoader aims for.
+steady state the reference's pipelined DataLoader aims for. ALL device
+timings use the fetch-synced chained-state protocol (_timed_chain /
+CLAUDE.md): block_until_ready alone returns early through this machine's
+axon tunnel and has produced 4x-low step times.
 
 Measured decomposition on TPU v5e (bf16, batch 48, 224^2; fetch-synced
 protocol, CLAUDE.md; full tables in BASELINE.md):
@@ -39,7 +42,6 @@ BASELINE_IMG_PER_SEC = 450.0
 BATCH = 48
 SHAPE = (224, 224)
 WARMUP_STEPS = 5
-MEASURE_STEPS = 30
 
 # This machine's TPU compiles go through a remote-compile tunnel that
 # occasionally stalls indefinitely. The top-level entry runs the actual
@@ -49,6 +51,28 @@ _CHILD_ENV_FLAG = "SPEEDPLUS_BENCH_CHILD"
 _ATTEMPT_TIMEOUT_S = 900  # two fresh compiles (plain+styled phase path) can
                           # take ~7-8 min through the remote-compile tunnel
 _ATTEMPTS = 3
+
+
+def _timed_chain(step_once, sync, n):
+    """Fetch-synced chained-step timing (CLAUDE.md protocol): per-step =
+    (t(n) - t(1)) / (n - 1), where each t(.) ends with a 1-element device
+    fetch. ``jax.block_until_ready`` alone is NOT sufficient through this
+    machine's axon tunnel — it returns early for some programs (measured:
+    a 15 ms DANN step reported as 3.8, a 0.8 ms SPN step as 0.18); an
+    actual np.array fetch of a jitted slice drains the serial device queue.
+    ``step_once`` must advance a data-dependent state chain; ``sync`` must
+    fetch >=1 element of that state to the host."""
+    def run(k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            step_once()
+        sync()
+        return time.perf_counter() - t0
+
+    run(1)  # settle the dispatch path
+    t1 = run(1)
+    tn = run(n)
+    return (tn - t1) / (n - 1)
 
 
 def _run_child(mode, attempts=_ATTEMPTS, timeout_s=_ATTEMPT_TIMEOUT_S):
@@ -245,16 +269,19 @@ def _bench_dann():
     target = {"image": jnp.asarray(rs.rand(B, *SHAPE, 3).astype(np.float32))}
     alpha = np.float32(0.5)
 
-    for _ in range(WARMUP_STEPS):
-        state, sm = step(state, source, target, rng, alpha)
-    jax.block_until_ready(state.params)
+    holder = {"state": state}
+    grab = jax.jit(lambda x: x.ravel()[:1])
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, sm = step(state, source, target, rng, alpha)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    per_step = dt / MEASURE_STEPS
+    def once():
+        holder["state"], _ = step(holder["state"], source, target, rng, alpha)
+
+    def sync():
+        np.array(grab(jax.tree_util.tree_leaves(holder["state"].params)[0]))
+
+    for _ in range(WARMUP_STEPS):
+        once()
+    sync()
+    per_step = _timed_chain(once, sync, n=150)
     # Images processed per step: B source + B target (both run the backbone).
     print(json.dumps({
         "dann_img_s_per_chip": round(2 * B / per_step, 1),
@@ -313,16 +340,23 @@ def _bench_spn():
         "y_weights": jnp.asarray(yw / yw.sum(1, keepdims=True)),
     }
 
+    grab = jax.jit(lambda x: x.ravel()[:1])
+
     def timed(sp):
-        st = create_train_state(model, tx, rng, jnp.zeros((1, *shape, 3)))
+        holder = {"st": create_train_state(model, tx, rng,
+                                           jnp.zeros((1, *shape, 3)))}
+
+        def once():
+            holder["st"], _ = step(holder["st"], batch, rng, sp)
+
+        def sync():
+            np.array(grab(jax.tree_util.tree_leaves(holder["st"].params)[0]))
+
         for _ in range(WARMUP_STEPS):
-            st, sm = step(st, batch, rng, sp)
-        jax.block_until_ready(st.params)
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            st, sm = step(st, batch, rng, sp)
-        jax.block_until_ready(st.params)
-        return (time.perf_counter() - t0) / MEASURE_STEPS
+            once()
+        sync()
+        # plain SPN is sub-ms: large n amortizes the +-40 ms t(1) jitter
+        return _timed_chain(once, sync, n=300)
 
     plain = timed(None)
     styled = timed(style_params)
@@ -399,18 +433,22 @@ def _bench():
     gate = np.random.RandomState(7)
     draw = lambda: style_params if gate.rand() < cfg.texture_ratio else None
 
+    holder = {"state": state}
+    grab = jax.jit(lambda x: x.ravel()[:1])
+
+    def once():
+        holder["state"], _ = step(holder["state"], batch, rng, draw())
+
+    def sync():
+        np.array(grab(jax.tree_util.tree_leaves(holder["state"].params)[0]))
+
     for _ in range(WARMUP_STEPS):
-        state, sm = step(state, batch, rng, style_params)
-    state, sm = step(state, batch, rng, None)  # compile the unstyled program
-    jax.block_until_ready(state.params)
+        holder["state"], _ = step(holder["state"], batch, rng, style_params)
+    holder["state"], _ = step(holder["state"], batch, rng, None)  # compile
+    sync()                                           # the unstyled program
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, sm = step(state, batch, rng, draw())
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec = MEASURE_STEPS * cfg.batch_size / dt
+    per_step = _timed_chain(once, sync, n=150)
+    imgs_per_sec = cfg.batch_size / per_step
     per_chip = imgs_per_sec / n_chips
     print(json.dumps({
         "metric": "krn_train_images_per_sec_per_chip",
