@@ -101,7 +101,7 @@ def main(cfg=None):
                             dann_alpha_fn=alpha_fn)
 
         if (epoch + 1) % cfg.test_epoch == 0 and cfg.test_epoch > 0:
-            run_validation(epoch, cfg, eval_step, state.params,
+            run_validation(epoch + 1, cfg, eval_step, state.params,
                            state.batch_stats, test_loader, writer)
 
         perf = epoch + 1

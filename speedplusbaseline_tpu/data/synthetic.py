@@ -8,9 +8,13 @@ consumes (README.md structure):
     {domain}/images/imgNNNNNN.jpg
     {domain}/{split}.json            (q_vbs2tango_true, r_Vo2To_vbs_true)
 
-Images contain bright gaussian blobs at each projected keypoint location on a
-noisy background, so KRN training on this data is actually learnable — the
-e2e tests train a few steps and watch the loss drop. Run preprocess.py on the
+Images contain bright markers at each projected keypoint location (unique hue
+per keypoint), so KRN training on this data is actually learnable — the e2e
+tests train a few steps and watch the loss drop. Domains carry a real domain
+gap mirroring SPEED+'s synthetic vs HIL split (``DOMAIN_STYLES``): synthetic
+renders gaussian blobs on dim noise, lightbox/sunlamp render ring markers on
+a bright striped background with optical blur — the substrate for the DANN
+adaptation demo (scripts/dann_adaptation_run.py). Run preprocess.py on the
 generated JSONs to produce the CSVs (exercising the real label pipeline).
 """
 from __future__ import annotations
@@ -32,8 +36,9 @@ def _default_camera(width: int, height: int):
     return camera_matrix, dist
 
 
-def _render(width, height, uv, rs):
-    """Noisy background + gaussian blob per keypoint, one UNIQUE hue each.
+def _render(width, height, uv, rs, style="blobs"):
+    """Per-keypoint marker with one UNIQUE hue each, on a domain-styled
+    background.
 
     Unique colors make the keypoint-identification task well-posed (the real
     SPEED+ target is identifiable from its asymmetric texture). An earlier
@@ -42,19 +47,56 @@ def _render(width, height, uv, rs):
     produced within-group correspondence swaps, and EPnP with swapped
     correspondences yields catastrophic (>90 deg) pose outliers on the
     convergence runs.
+
+    ``style`` gives the fake dataset a real source/target DOMAIN GAP,
+    mirroring SPEED+'s synthetic vs hardware-in-the-loop imagery
+    (reference README.md:8):
+
+    - ``"blobs"`` (synthetic/source): gaussian blob markers on a dim
+      uniform-noise background.
+    - ``"rings"`` (lightbox/sunlamp, i.e. HIL/target): ring (annulus)
+      markers of the SAME hue, a brighter striped background, and a mild
+      optical blur. The pose→pixel mapping is unchanged (markers centered
+      at the same projected keypoints), but the LOW-LEVEL statistics
+      (marker shape, background texture, sharpness) differ — a gap the
+      reference's photometric augs (brightness/contrast/noise,
+      transforms.py:71-110) do NOT cover, so bridging it requires domain
+      adaptation rather than augmentation. This is what makes the DANN
+      adaptation demo (scripts/dann_adaptation_run.py) well-posed.
     """
     import colorsys
 
-    img = (rs.rand(height, width, 3) * 40).astype(np.float32)
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    if style == "rings":
+        stripes = 0.5 + 0.5 * np.sin(
+            2.0 * np.pi * (3.0 * xx / width + 2.0 * yy / height))
+        img = (35.0 + 45.0 * stripes)[..., None] + (
+            rs.rand(height, width, 3) * 25).astype(np.float32)
+        img = img.astype(np.float32)
+    else:
+        img = (rs.rand(height, width, 3) * 40).astype(np.float32)
     k = uv.shape[1]
     for i in range(k):
         u, v = uv[0, i], uv[1, i]
-        blob = np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2.0 * 2.5**2))
         color = np.array(colorsys.hsv_to_rgb(i / max(k, 1), 1.0, 1.0),
                          dtype=np.float32)
-        img += blob[..., None] * (0.35 + 0.65 * color[None, None]) * 255.0
-    return np.clip(img, 0, 255).astype(np.uint8)
+        if style == "rings":
+            r = np.sqrt((xx - u) ** 2 + (yy - v) ** 2)
+            marker = np.exp(-((r - 4.0) ** 2) / (2.0 * 1.2**2))
+        else:
+            marker = np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2.0 * 2.5**2))
+        img += marker[..., None] * (0.35 + 0.65 * color[None, None]) * 255.0
+    img = np.clip(img, 0, 255)
+    if style == "rings":
+        from scipy.ndimage import gaussian_filter
+
+        img = gaussian_filter(img, sigma=(1.0, 1.0, 0.0))
+    return img.astype(np.uint8)
+
+
+#: Default per-domain render styles: synthetic is the clean source domain,
+#: the HIL test domains (lightbox/sunlamp) carry the domain gap.
+DOMAIN_STYLES = {"synthetic": "blobs", "lightbox": "rings", "sunlamp": "rings"}
 
 
 def generate_fake_speedplus(
@@ -65,6 +107,7 @@ def generate_fake_speedplus(
     height: int = 200,
     domains: Sequence[str] = ("synthetic", "lightbox"),
     seed: int = 0,
+    domain_styles=None,
 ) -> str:
     """Create the dataset under ``root``/speedplus and return that path."""
     from PIL import Image
@@ -79,8 +122,13 @@ def generate_fake_speedplus(
     K = np.array(camera_matrix, dtype=np.float64)
     D = np.array(dist, dtype=np.float64)
 
+    styles = dict(DOMAIN_STYLES)
+    if domain_styles:
+        styles.update(domain_styles)
+
     rs = np.random.RandomState(seed)
     for domain in domains:
+        style = styles.get(domain, "blobs")
         img_dir = os.path.join(dataroot, domain, "images")
         os.makedirs(img_dir, exist_ok=True)
         for split, n in (("train", num_train), ("test", num_test)):
@@ -107,7 +155,7 @@ def generate_fake_speedplus(
                     t[2] += 4.0  # pathological camera geometry: back way off
                     uv = np.asarray(project_keypoints(q, t, K, D, kpts3d))
                 fname = f"{domain}_{split}_img{i:06d}.jpg"
-                img = _render(width, height, uv, rs)
+                img = _render(width, height, uv, rs, style=style)
                 Image.fromarray(img).save(
                     os.path.join(img_dir, fname), quality=92)
                 labels.append({

@@ -18,11 +18,25 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _lib = None
 
 
+def _build():
+    """Build the .so on demand (it is a build artifact, not committed — a
+    fresh container would otherwise silently lose the native path, e.g.
+    BENCH host_native fields coming back null)."""
+    import subprocess
+
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) and not _build():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.decode_crop_resize_file.argtypes = [

@@ -35,6 +35,39 @@ def make_cfg(fake_root, **kw):
     return default_cfg(**base)
 
 
+class TestDomainGap:
+    """The fake dataset carries a real source/target domain gap
+    (data/synthetic.py DOMAIN_STYLES), mirroring SPEED+'s synthetic vs HIL
+    imagery (reference README.md:8) — the substrate for the DANN
+    adaptation demo."""
+
+    def test_marker_shapes_differ(self):
+        from speedplusbaseline_tpu.data.synthetic import _render
+
+        rs = np.random.RandomState(0)
+        uv = np.array([[60.0], [60.0]])
+        blobs = _render(128, 128, uv, rs, style="blobs").astype(np.int32)
+        rings = _render(128, 128, uv, rs, style="rings").astype(np.int32)
+        # Gaussian blob: brightest at the keypoint. Ring: annulus brighter
+        # than its own center (the marker CENTER is still the label).
+        assert blobs[60, 60].max() > blobs[60, 64].max()
+        assert rings[60, 64].max() > rings[60, 60].max()
+        # Background statistics differ (bright striped vs dim noise).
+        assert rings.mean() > blobs.mean() + 20
+
+    def test_generated_domains_carry_the_gap(self, fake_root):
+        from PIL import Image
+
+        root = os.path.join(fake_root, "speedplus")
+
+        def mean_of(domain):
+            d = os.path.join(root, domain, "images")
+            f = sorted(os.listdir(d))[0]
+            return np.asarray(Image.open(os.path.join(d, f))).mean()
+
+        assert mean_of("lightbox") > mean_of("synthetic") + 20
+
+
 class TestPreprocess:
     def test_fake_targets_fully_in_frame(self, fake_root):
         """Every generated pose must project all keypoints inside the frame
