@@ -95,7 +95,9 @@ def main(cfg=None):
             return 2.0 / (1.0 + np.exp(-10.0 * p)) - 1.0
 
         lr_value = float(schedule(int(state.step)))
-        state = train_epoch(epoch, cfg, state, train_step, None, rng, writer,
+        # Display/TB epoch is 1-based like train.py:167 and the reference
+        # (trainer.py:102, dann.py:109 both print epoch+1).
+        state = train_epoch(epoch + 1, cfg, state, train_step, None, rng, writer,
                             lr_value=lr_value,
                             dann_loaders=(source_loader, target_loader),
                             dann_alpha_fn=alpha_fn)

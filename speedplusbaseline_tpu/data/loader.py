@@ -76,6 +76,25 @@ class DataLoader:
                 lambda x: jax.device_put(x, self.sharding), batch)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def _local_pad_target(self) -> int:
+        """Rows this process must emit per (non-drop_last) batch.
+
+        The GLOBAL batch must divide the data mesh for NamedSharding, and
+        eval batches may not (e.g. ``--batch_size 48 --num_devices 6
+        --eval_batch_size 32``: the mesh clamps against the TRAIN batch, so
+        device_put of a 32-row eval batch over 6 devices would fail
+        mid-validation). Pad every eval batch up to the next mesh multiple;
+        the 'valid' mask trims the padding out of metrics.
+        """
+        pc = jax.process_count()
+        local = self.batch_size // pc
+        mesh = getattr(self.sharding, "mesh", None)
+        if mesh is None:
+            return local
+        d = mesh.size
+        global_target = -(-self.batch_size // d) * d
+        return global_target // pc
+
     def _local_slice(self, idxs: np.ndarray) -> np.ndarray:
         """The rows of a global batch this host is responsible for.
 
@@ -114,12 +133,12 @@ class DataLoader:
                             lambda i: self.dataset.__getitem__(int(i), epoch=epoch),
                             idxs))
                         n_valid = len(samples)
-                        local_bs = self.batch_size // jax.process_count()
+                        local_bs = self._local_pad_target()
                         if not self.drop_last:
-                            # Pad the tail batch to full (local) size so
-                            # shapes stay static for jit and divisible for
-                            # the DP mesh; 'valid' masks the padding out of
-                            # metrics.
+                            # Pad the tail batch to full (local) size — and
+                            # every batch up to a mesh multiple — so shapes
+                            # stay static for jit and divisible for the DP
+                            # mesh; 'valid' masks the padding out of metrics.
                             while len(samples) < local_bs:
                                 samples.append(samples[0])
                         batch = _stack(samples)
