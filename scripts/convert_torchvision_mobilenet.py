@@ -20,11 +20,11 @@ import argparse
 import os
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True, help="torch state_dict .pth")
     ap.add_argument("--out", default="assets/mobilenetv2_backbone.msgpack")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import torch
     from flax import serialization

@@ -15,7 +15,10 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 
 def default_assets_dir() -> str:
-    return os.path.join(_REPO_ROOT, "assets")
+    """Repo ``assets/`` dir, overridable via SPEEDPLUS_ASSETS_DIR (used by
+    tests to point train.py at converter-generated pretrained files)."""
+    return os.environ.get("SPEEDPLUS_ASSETS_DIR") or os.path.join(
+        _REPO_ROOT, "assets")
 
 
 def _resolve(path: str, native_name: str) -> str:
