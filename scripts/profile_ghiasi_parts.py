@@ -122,11 +122,13 @@ def main():
         elif part == "pup_small":  # layer9: (48,112,112,64) w(3,3,64,32)
             x = arr(B, 112, 112, 64)
             w = jnp.asarray(rs2.randn(3, 3, 64, 32).astype(np.float32) * 0.05)
-            fn = jax.jit(lambda x: pc.upconv3x3_phase(x, w, jnp.zeros((32,))))
+            fn = jax.jit(lambda x: pc.upconv3x3_phase_packed(
+                x, w, jnp.zeros((32,))))
         elif part == "pup_big":  # layer8: (48,56,56,128) w(3,3,128,64)
             x = arr(B, 56, 56, 128)
             w = jnp.asarray(rs2.randn(3, 3, 128, 64).astype(np.float32) * 0.05)
-            fn = jax.jit(lambda x: pc.upconv3x3_phase(x, w, jnp.zeros((64,))))
+            fn = jax.jit(lambda x: pc.upconv3x3_phase_packed(
+                x, w, jnp.zeros((64,))))
         elif part == "pconv1x1":  # calibration floor: 1x1 conv, same M/K/N
             x = arr(B, 113, 113, 128)
             w = jnp.asarray(rs2.randn(1, 1, 128, 64).astype(np.float32) * 0.05)
@@ -149,31 +151,6 @@ def main():
                         y = t if y is None else y + t
                 return y
             fn = jax.jit(s2mm)
-        elif part == "pupmm_small":  # layer9 as 4 shifted matmuls
-            x = arr(B, 112, 112, 64)
-            w = jnp.asarray(rs2.randn(3, 3, 64, 32).astype(np.float32) * 0.05)
-            wu = pc.phase_weights_up(w)
-
-            def upmm(x):
-                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-                h, wd = x.shape[1], x.shape[2]
-                y = None
-                for kh in range(2):
-                    for kw in range(2):
-                        t = jnp.einsum(
-                            "bhwc,co->bhwo",
-                            xp[:, kh:kh + h + 1, kw:kw + wd + 1],
-                            wu[kh, kw].astype(xp.dtype))
-                        y = t if y is None else y + t
-                o = y.shape[-1] // 4
-                z = jnp.stack([
-                    y[:, 0:h, 0:wd, 0 * o:1 * o],
-                    y[:, 0:h, 1:wd + 1, 1 * o:2 * o],
-                    y[:, 1:h + 1, 0:wd, 2 * o:3 * o],
-                    y[:, 1:h + 1, 1:wd + 1, 3 * o:4 * o],
-                ], axis=3)
-                return z
-            fn = jax.jit(upmm)
         elif part == "p9mm_l":  # layer10 as 25 shifted matmuls
             x = arr(B, 112, 112, 128)
             w = jnp.asarray(rs2.randn(9, 9, 32, 3).astype(np.float32) * 0.05)

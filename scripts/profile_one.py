@@ -89,10 +89,8 @@ def main():
         fn = jax.jit(lambda: gh.apply(vg, images, emb))
     elif variant == "augs":
         fn = jax.jit(lambda: augment_batch(key, images, keypts))
-    elif variant in ("krn_fwd", "krn_fwd_train", "krn_fwdbwd",
-                     "krn_fwdbwd_fused"):
-        model = KeypointRegressionNet(11, dtype=dtype,
-                                      fused_ir=variant.endswith("_fused"))
+    elif variant in ("krn_fwd", "krn_fwd_train", "krn_fwdbwd"):
+        model = KeypointRegressionNet(11, dtype=dtype)
         cfgf = default_cfg(batch_size=B, input_shape=(H, W))
         from speedplusbaseline_tpu.engine import create_train_state as _cts
         import optax as _optax
@@ -100,16 +98,6 @@ def main():
         variables = {"params": st.params, "batch_stats": st.batch_stats}
         if variant == "krn_fwd":
             fn = jax.jit(lambda: model.apply(variables, images, train=False))
-        elif variant == "krn_fwdbwd_fused":
-            from speedplusbaseline_tpu.models.krn import krn_loss
-
-            def loss_fn(params):
-                (xc, yc), mut = model.apply(
-                    {"params": params, "batch_stats": st.batch_stats},
-                    images, train=True, mutable=["batch_stats"])
-                loss, _ = krn_loss(xc, yc, keypts)
-                return loss
-            fn = jax.jit(lambda: jax.grad(loss_fn)(st.params))
         elif variant == "krn_fwd_train":
             fn = jax.jit(lambda: model.apply(
                 variables, images, train=True, mutable=["batch_stats"]))
@@ -146,15 +134,11 @@ def main():
         fn = jax.jit(lambda: gh.apply(vg, images, emb))
     else:
         ratio = {"bare": 0.0, "full1": 1.0, "full05": 0.5,
-                 "noaug_full1": 1.0, "bare_augs": 0.0,
-                 "bare_fused": 0.0, "full1_fused": 1.0,
-                 "bare_fused_pallas": 0.0}[variant]
+                 "noaug_full1": 1.0, "bare_augs": 0.0}[variant]
         cfg = default_cfg(batch_size=B, input_shape=(H, W), optimizer="adamw",
                           randomize_texture=(ratio > 0), texture_ratio=ratio,
                           fp16=(dtype == jnp.bfloat16))
-        model = KeypointRegressionNet(
-            11, dtype=dtype, fused_ir="_fused" in variant,
-            fused_impl="pallas" if variant.endswith("_pallas") else "xla")
+        model = KeypointRegressionNet(11, dtype=dtype)
         tx = build_optimizer(cfg, 100)
         state = create_train_state(model, tx, key, jnp.zeros((1, H, W, 3)))
         style_aug = None

@@ -19,10 +19,8 @@ Usage: python scripts/profile_prefix.py <mode> <k> [N] [H]
   opt    = production phase path (tpu_opt + Pallas resblocks + dp l10)
   opt_nodp = same with l10_dp=False (the round-2 l10 lowering)
   plain  = the direct flax lowering (no tpu_opt, no Pallas)
-  opt_border = opt + l10_border (interior+strip 9x9 pad decomposition)
-  opt_qp     = opt + l0_qp (l0 input double-pack, K 12->48)
-  opt_2x2    = opt + up2x2 (l8/l9 2x2 shifted-window form)
-  opt_all    = opt + all three of the above
+  (the losing round-3 lowerings opt_border/opt_qp/opt_2x2 were pruned after
+  measurement — BASELINE.md "Round-3 Ghiasi endgame")
   H      = input height/width (default 224; odd sizes exercise the pad path)
 """
 from __future__ import annotations
@@ -59,10 +57,7 @@ def main():
     upto = None if k >= 10 else k
     mod = Ghiasi(dtype=DTYPE, tpu_opt=(mode.startswith("opt")),
                  use_pallas=(mode.startswith("opt")),
-                 l10_dp=(mode != "opt_nodp"),
-                 l10_border=(mode in ("opt_border", "opt_all")),
-                 l0_qp=(mode in ("opt_qp", "opt_all")),
-                 up2x2=(mode in ("opt_2x2", "opt_all")), upto=upto)
+                 l10_dp=(mode != "opt_nodp"), upto=upto)
     v = mod.init({"params": jax.random.PRNGKey(0)},
                  jnp.zeros((1, H, H, 3)), emb[:1])
     fn = jax.jit(lambda x: mod.apply(v, x, emb))

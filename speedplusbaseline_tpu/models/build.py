@@ -24,12 +24,6 @@ def get_model(cfg):
     assert cfg.model_name in ("krn", "spn"), "Model name must be either krn or spn"
 
     dtype = jnp.bfloat16 if cfg.fp16 else jnp.float32
-    # fused_ir (the restructured inverted-residual hot path, ops/fused_ir.py)
-    # defaults OFF: both its Pallas and analytic-stats XLA variants measured
-    # SLOWER than XLA's own lowering on v5e (bare step 15.7 / 13.9 vs 12.2 ms
-    # — the backward is VPU-bound on the depthwise taps, not HBM-bound; see
-    # BASELINE.md round-3 optimization record). Kept as a tested,
-    # checkpoint-compatible alternative (KeypointRegressionNet(fused_ir=True)).
 
     if not cfg.dann:
         if cfg.model_name == "krn":

@@ -212,17 +212,11 @@ class Ghiasi(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     tpu_opt: bool = False
-    # Phase-path lowering choices (A/B-able; see BASELINE.md):
-    # l10_dp: emit l10 double-packed (N=48 lanes instead of 12).
+    # l10_dp: emit l10 double-packed (N=48 lanes instead of 12) — the
+    # measured winner of the round-3 lowering A/Bs (12.84 vs 12.94 ms; the
+    # losing alternatives l10_border/l0_qp/up2x2 were pruned after
+    # measurement — record in BASELINE.md "Round-3 Ghiasi endgame").
     l10_dp: bool = True
-    # l10_border: interior+border-strip decomposition of the 9x9 phase pad
-    # (kills the two full-slab pad-assembly copies on l10's 154 MB input).
-    l10_border: bool = False
-    # l0_qp: double-pack l0's INPUT as well (K 12 -> 48 lanes, 1.44x MACs).
-    l0_qp: bool = False
-    # up2x2: l8/l9 via the 2x2 phase kernel + shifted-window stack
-    # (2.25x fewer MACs than the aligned 3x3 subpixel form, one relayout).
-    up2x2: bool = False
     # Profiling hook: return the activation after stage k (0=layer0 ..
     # 7=layer7, 8=layer8, 9=layer9, 10=full incl. sigmoid). Guarantees
     # prefix-bisection measurements (scripts/profile_prefix.py) time the
@@ -292,30 +286,18 @@ class Ghiasi(nn.Module):
         from ..ops.phase_conv import (
             conv3x3_s2_phase_aligned,
             conv9x9_phase,
-            conv9x9_phase_border,
             conv9x9_phase_dp,
-            conv9x9_phase_qp,
             depth_to_space2,
             phase_instance_norm_packed,
             space_to_depth2,
-            upconv3x3_phase,
             upconv3x3_phase_packed,
         )
 
         # layer0: 9x9 3->32 @ full res -> phase output (B, H/2, W/2, 4*32)
         w, b, _, _ = _PhaseLayerParams(32, 9, name="layer0")(3)
         x4 = space_to_depth2(x)
-        if self.l0_qp and x4.shape[1] % 2 == 0 and x4.shape[2] % 2 == 0:
-            # double-packed input AND output: conv at (H/4)^2 with 48 input
-            # lanes; IN + relu run at 16-phase lane occupancy, then one d2s
-            # restores the 4-phase layout layer1 consumes.
-            a = conv9x9_phase_qp(x4, w, b)
-            a = depth_to_space2(
-                nn.relu(phase_instance_norm_packed(a, phases=16)))
-            a = a.astype(self.dtype)
-        else:
-            a = conv9x9_phase(x4, w, b)
-            a = nn.relu(phase_instance_norm_packed(a)).astype(self.dtype)
+        a = conv9x9_phase(x4, w, b)
+        a = nn.relu(phase_instance_norm_packed(a)).astype(self.dtype)
         if self._cut(0):
             return a
 
@@ -346,16 +328,9 @@ class Ghiasi(nn.Module):
 
         # layer8: up2 + 3x3 128->64 as aligned subpixel conv (packed phase
         # output, full-lane 4O channels, no shifted-window stack)
-        def upconv(v, w, b):
-            if not self.up2x2:
-                return upconv3x3_phase_packed(v, w, b)
-            z = upconv3x3_phase(v, w, b)  # (B, h, w, 4, O)
-            # stack order (p*2+q)*O + o == the packed phase layout
-            return z.reshape(z.shape[0], z.shape[1], z.shape[2], -1)
-
         w, b, g, be = _PhaseLayerParams(64, 3, film=True,
                                         name="layer8")(128, styles)
-        z = upconv(y, w, b)  # (B, 56, 56, 256)
+        z = upconv3x3_phase_packed(y, w, b)  # (B, 56, 56, 256)
         z = nn.relu(phase_instance_norm_packed(z, g, be))
         y = depth_to_space2(z).astype(self.dtype)  # (B, 112, 112, 64)
         if self._cut(8):
@@ -364,7 +339,7 @@ class Ghiasi(nn.Module):
         # layer9: up2 + 3x3 64->32; its packed output IS layer10's s2d input
         w, b, g, be = _PhaseLayerParams(32, 3, film=True,
                                         name="layer9")(64, styles)
-        z = upconv(y, w, b)  # (B, 112, 112, 128)
+        z = upconv3x3_phase_packed(y, w, b)  # (B, 112, 112, 128)
         a = nn.relu(phase_instance_norm_packed(z, g, be)).astype(self.dtype)
         if self._cut(9):
             return a
@@ -376,10 +351,7 @@ class Ghiasi(nn.Module):
         w, b, g, be = _PhaseLayerParams(3, 9, film=True,
                                         name="layer10")(32, styles)
         if self.l10_dp and a.shape[1] % 2 == 0 and a.shape[2] % 2 == 0:
-            if self.l10_border:
-                z = conv9x9_phase_border(a, w, b, dp=True)
-            else:
-                z = conv9x9_phase_dp(a, w, b)  # (B, 56, 56, 48)
+            z = conv9x9_phase_dp(a, w, b)  # (B, 56, 56, 48)
             z = phase_instance_norm_packed(z, g, be, phases=16)
             z = nn.sigmoid(z.astype(jnp.float32))
             return depth_to_space2(depth_to_space2(z))

@@ -20,12 +20,6 @@ from .mobilenetv2 import MobileNetV2Features
 class KeypointRegressionNet(nn.Module):
     num_keypoints: int = 11
     dtype: Any = jnp.float32
-    # Route the high-res MNv2 blocks' expand+BN+relu6+depthwise chain through
-    # the fused Pallas kernel (ops/fused_ir.py) in train mode. Checkpoint-
-    # compatible with the plain path (same tree); TPU backends only.
-    fused_ir: bool = False
-    fused_interpret: bool = False
-    fused_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_features: bool = False):
@@ -41,10 +35,7 @@ class KeypointRegressionNet(nn.Module):
             (xc, yc) each (B, K), plus features (B, 7, 7, 320) if requested.
         """
         x = x.astype(self.dtype)
-        feat, tap = MobileNetV2Features(
-            dtype=self.dtype, fused_ir=self.fused_ir,
-            fused_interpret=self.fused_interpret,
-            fused_impl=self.fused_impl, name="base")(x, train)
+        feat, tap = MobileNetV2Features(dtype=self.dtype, name="base")(x, train)
 
         y = ConvDw(1024, 1, dtype=self.dtype, name="extra0")(feat, train)
         y = ConvDw(1024, 1, dtype=self.dtype, name="extra1")(y, train)

@@ -61,16 +61,11 @@ class RevGrad(nn.Module):
 
     num_keypoints: int = 11
     dtype: Any = jnp.float32
-    fused_ir: bool = False
-    fused_interpret: bool = False
-    fused_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True, alpha=None):
         xc, yc, feat = KeypointRegressionNet(
-            self.num_keypoints, dtype=self.dtype, fused_ir=self.fused_ir,
-            fused_interpret=self.fused_interpret,
-            fused_impl=self.fused_impl, name="net"
+            self.num_keypoints, dtype=self.dtype, name="net"
         )(x, train=train, return_features=True)
 
         if alpha is None:

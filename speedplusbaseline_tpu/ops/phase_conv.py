@@ -150,49 +150,11 @@ def conv3x3_s2_phase_aligned(x4, w, b=None):
 # nearest-up2 + reflect-pad-1 + 3x3 conv (Ghiasi layer8/layer9)
 # ---------------------------------------------------------------------------
 
-# M[p, kh, dy]: which original taps dy sum into kernel slot kh for output
-# phase p. Derived from: out row 2i+p reads up-rows {2i+p-1, 2i+p, 2i+p+1},
-# and nearest-up row r = x[r//2] with reflect-pad on the UPSAMPLED image
-# (u[-1] = u[1] = x[0], u[2H] = u[2H-2] = x[H-1] — i.e. replicate on x).
-_M_UP = jnp.asarray([
-    [[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]],  # p=0: kh0 <- w0;    kh1 <- w1+w2
-    [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]],  # p=1: kh0 <- w0+w1; kh1 <- w2
-])
-
-
-def phase_weights_up(w):
-    """(3,3,C,O) -> (2,2,C,4O): 2x2 kernels producing the 4 output phases
-    (phase channel order (p*2+q)*O + o)."""
-    k, _, c, o = w.shape
-    assert k == 3
-    # (p, kh, dy) x (q, kw, dx) x (dy, dx, C, O) -> (kh, kw, C, p, q, O)
-    t = jnp.einsum("akd,ble,deco->klcabo", _M_UP, _M_UP, w)
-    return t.reshape(2, 2, c, 4 * o)
-
-
-def upconv3x3_phase(x, w, b=None):
-    """nearest-up2 + reflect-pad-1 + VALID 3x3 conv, without materializing
-    the upsampled image.
-
-    x: (B, h, w, C). Returns z: (B, h, w, 4, O) where
-    out(2i+p, 2j+q, o) = z[i, j, p*2+q, o] (apply depth_to_space2 on the
-    reshaped (B, h, w, 4O) to get the full-res image).
-    """
-    bsz, h, w_, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = _conv(xp, phase_weights_up(w))  # (B, h+1, w+1, 4O)
-    o = y.shape[-1] // 4
-    # Output phase (p, q) is the window of y shifted by (p, q).
-    z = jnp.stack([
-        y[:, 0:h, 0:w_, 0 * o:1 * o],
-        y[:, 0:h, 1:w_ + 1, 1 * o:2 * o],
-        y[:, 1:h + 1, 0:w_, 2 * o:3 * o],
-        y[:, 1:h + 1, 1:w_ + 1, 3 * o:4 * o],
-    ], axis=3)  # (B, h, w, 4, O)
-    if b is not None:
-        z = z + b.astype(z.dtype)
-    return z
-
+# A shifted-window lowering (2x2 phase kernels + 4-way output stack,
+# ``upconv3x3_phase``) was the round-2 alternative here; it measured 2.25x
+# fewer MACs but lost badly to the aligned subpixel form below (18.25 vs
+# 12.87 ms full forward — the gather/relayout dwarfs the MAC saving;
+# BASELINE.md "Round-3 Ghiasi endgame") and was pruned.
 
 # Aligned subpixel form: all 4 output phases share the SAME 3x3 input window
 # (per-phase zero-masked taps), so the conv emits the packed (B, h, w, 4O)
@@ -220,8 +182,8 @@ def phase_weights_up_aligned(w):
 def upconv3x3_phase_packed(x, w, b=None):
     """nearest-up2 + reflect-pad-1 + VALID 3x3 conv, emitting the packed
     phase tensor (B, h, w, 4O) = space_to_depth2 of the (B, 2h, 2w, O)
-    full-resolution output. Equivalent to upconv3x3_phase but with no
-    shifted-window stack (one conv, full-lane output)."""
+    full-resolution output — one conv, full-lane output, no shifted-window
+    stack."""
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = _conv(xp, phase_weights_up_aligned(w))
     if b is not None:
@@ -379,96 +341,12 @@ def conv9x9_phase_dp(x4, w, b=None):
     return y
 
 
-def conv9x9_phase_border(x4, w, b=None, dp: bool = False):
-    """conv9x9_phase / conv9x9_phase_dp computed as interior + border strips.
-
-    phase_pad_9x9 materializes the row-padded tensor and then the fully
-    padded tensor — two full-slab concat copies (~3x the input in HBM
-    traffic; on Ghiasi l10's (48, 112^2, 128) bf16 input that is ~480 MB of
-    pure pad assembly). Here the VALID interior conv reads ``x4`` directly
-    and only 6-row / 6-col strips are padded and convolved:
-
-        out = [ top band (full width, from a 6-row col-padded strip) ]
-              [ left 6-col strip | VALID interior conv | right strip  ]
-              [ bottom band                                           ]
-
-    Row/col concats of the OUTPUTS are cheap on TPU (only channel/lane-dim
-    concats force relayouts). Bitwise-identical math to the padded form
-    (same phase kernels, same taps); equivalence in tests/test_phase_conv.py.
-    """
-    if dp:
-        k, s, reps = phase_weights_9x9_dp(w), 2, 16
-    else:
-        k, s, reps = phase_weights_9x9(w), 1, 4
-    k = k.astype(x4.dtype)
-
-    def conv(v):
-        return jax.lax.conv_general_dilated(
-            v, k, window_strides=(s, s), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    top, bot = _row_pad_strips_9x9(x4)
-    strip_t = jnp.concatenate([top, x4[:, :4]], axis=1)    # 6 rows
-    strip_b = jnp.concatenate([x4[:, -4:], bot], axis=1)   # 6 rows
-    lt, rt = _col_pad_strips_9x9(strip_t)
-    lb, rb = _col_pad_strips_9x9(strip_b)
-    y_top = conv(jnp.concatenate([lt, strip_t, rt], axis=2))
-    y_bot = conv(jnp.concatenate([lb, strip_b, rb], axis=2))
-
-    lm, rm = _col_pad_strips_9x9(x4)
-    y_left = conv(jnp.concatenate([lm, x4[:, :, :4]], axis=2))   # 6 cols
-    y_right = conv(jnp.concatenate([x4[:, :, -4:], rm], axis=2))
-
-    mid = jnp.concatenate([y_left, conv(x4), y_right], axis=2)
-    y = jnp.concatenate([y_top, mid, y_bot], axis=1)
-    if b is not None:
-        y = y + jnp.tile(b.astype(y.dtype), reps)
-    return y
-
-
-def phase_weights_9x9_qp(w):
-    """(9,9,C,O) -> (3,3,16C,16O) consuming the DOUBLE-packed input
-    s2d(phase_pad_9x9(x4)) and emitting the double-packed output (the same
-    layout as conv9x9_phase_dp). From the 5x5 phase kernel W1: output outer
-    phase q at position n is Y4(2n+q) = sum_t W1[t] X4p(2n+q+t); writing
-    q + t = 2s + r maps tap t onto slot (s, input outer phase r), so
-    K[s_r, s_c, (r_r*2+r_c)*4C + i, (q_r*2+q_c)*4O + o] = W1[t_r, t_c, i, o]
-    with t = 2s + r - q (out of [0,5) -> zero). Fattens the Ghiasi l0 conv
-    from 12 to 48 input lanes at 1.44x the dense MACs."""
-    w1 = phase_weights_9x9(w)  # (5, 5, 4C, 4O)
-    c4, o4 = w1.shape[2], w1.shape[3]
-    k = jnp.zeros((3, 2, 3, 2, c4, 2, 2, o4), w1.dtype)
-    for qr in range(2):
-        for rr in range(2):
-            for sr in range(3):
-                tr = 2 * sr + rr - qr
-                if not 0 <= tr < 5:
-                    continue
-                for qc in range(2):
-                    for rc in range(2):
-                        for sc in range(3):
-                            tc = 2 * sc + rc - qc
-                            if not 0 <= tc < 5:
-                                continue
-                            k = k.at[sr, rr, sc, rc, :, qr, qc, :].set(
-                                w1[tr, tc])
-    k = k.transpose(0, 2, 1, 3, 4, 5, 6, 7)  # (sr, sc, rr, rc, 4C, qr, qc, 4O)
-    return k.reshape(3, 3, 4 * c4, 4 * o4)
-
-
-def conv9x9_phase_qp(x4, w, b=None):
-    """Reflect-pad-4 + 9x9 conv with BOTH sides double-packed: a 3x3 conv on
-    s2d(phase_pad_9x9(x4)) -> (B, h/2, w/2, 16O), identical layout to
-    conv9x9_phase_dp's output. Requires even h, w. For Ghiasi l0 (C=3) this
-    lifts the conv's input-channel lanes from 12 to 48."""
-    xp = phase_pad_9x9(x4)  # (h+4, w+4) — even when h, w are
-    y = jax.lax.conv_general_dilated(
-        space_to_depth2(xp), phase_weights_9x9_qp(w).astype(x4.dtype),
-        window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    if b is not None:
-        y = y + jnp.tile(b.astype(y.dtype), 16)
-    return y
+# Two further l10/l0 lowerings were built and A/B-measured in round 3 and
+# PRUNED as losers (record: BASELINE.md "Round-3 Ghiasi endgame"):
+#   conv9x9_phase_border — interior+strip pad decomposition (12.94 vs 12.87
+#   ms: the full-slab pad copies were already cheap);
+#   conv9x9_phase_qp — double-packed input AND output for l0 (14.48 ms: the
+#   1.44x MAC overhead loses; l0's K=12 lane waste is covered by BW overlap).
 
 
 def phase_instance_norm(z, gamma=None, beta=None, eps: float = 1e-5,
@@ -476,7 +354,7 @@ def phase_instance_norm(z, gamma=None, beta=None, eps: float = 1e-5,
     """Instance norm whose statistics pool over (H, W) AND the 4 phases —
     exactly the full-resolution per-channel statistics.
 
-    z: (B, h, w, 4, C) (phase_axis=3, e.g. upconv3x3_phase output) or
+    z: (B, h, w, 4, C) (phase_axis=3, explicit phase dim) or
        (B, h, w, 4C) (phase blocks packed in channels, e.g. conv9x9_phase).
     gamma/beta: optional (B, C) FiLM parameters.
     """

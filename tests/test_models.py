@@ -262,20 +262,15 @@ class TestGhiasi:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
-    def test_tpu_opt_lowering_variants_match_plain(self, key, rng):
-        """Every A/B-able phase-path lowering (l10 border strips, l0 input
-        double-pack, l8/l9 2x2 shifted-window form, and all combined) is an
-        exact rewrite of the same function with the same parameter tree."""
+    def test_tpu_opt_l10_fallback_matches_plain(self, key, rng):
+        """The single-packed l10 form (l10_dp=False — the odd-size fallback
+        inside the dp gate) is an exact rewrite with the same tree."""
         plain = Ghiasi()
         x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
         s = jnp.asarray(rng.randn(2, 100).astype(np.float32) * 0.3)
         v = plain.init({"params": key}, x[:1], s[:1])
         with jax.default_matmul_precision("float32"):
             ref = plain.apply(v, x, s)
-            for kw in ({"l10_border": True}, {"l0_qp": True},
-                       {"up2x2": True}, {"l10_dp": False},
-                       {"l10_border": True, "l0_qp": True, "up2x2": True}):
-                out = Ghiasi(tpu_opt=True, **kw).apply(v, x, s)
-                np.testing.assert_allclose(
-                    np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5,
-                    err_msg=str(kw))
+            out = Ghiasi(tpu_opt=True, l10_dp=False).apply(v, x, s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -17,7 +17,6 @@ from speedplusbaseline_tpu.ops.phase_conv import (
     phase_instance_norm,
     phase_instance_norm_packed,
     space_to_depth2,
-    upconv3x3_phase,
     upconv3x3_phase_packed,
 )
 
@@ -62,22 +61,6 @@ class TestConv3x3Stride2(object):
         ref = conv_ref(reflect_pad(jnp.asarray(x), 1), w, stride=2) + b
         ours = conv3x3_s2_phase_aligned(space_to_depth2(jnp.asarray(x)),
                                         jnp.asarray(w), jnp.asarray(b))
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
-
-
-class TestUpConv3x3:
-    def test_matches_upsample_reflect_pad_conv(self, rng, prec):
-        x = rng.rand(2, 9, 13, 6).astype(np.float32)
-        w = (rng.randn(3, 3, 6, 5) * 0.3).astype(np.float32)
-        b = rng.randn(5).astype(np.float32)
-
-        up = upsample_nearest(jnp.asarray(x), 2)
-        ref = conv_ref(reflect_pad(up, 1), w) + b
-
-        z = upconv3x3_phase(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b))
-        bsz, h, wdt, _, o = z.shape
-        ours = depth_to_space2(z.reshape(bsz, h, wdt, 4 * o))
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
@@ -140,49 +123,6 @@ class TestConv9x9:
             ydp, jnp.asarray(gamma), jnp.asarray(beta), phases=16)))
         np.testing.assert_allclose(np.asarray(our_in), np.asarray(ref_in),
                                    rtol=1e-4, atol=1e-5)
-
-    def test_border_decomposition_matches(self, rng, prec):
-        """conv9x9_phase_border (interior VALID conv + 6-row/col pad strips,
-        no full-slab pad assembly) equals the padded forms exactly, for both
-        the stride-1 and the double-packed stride-2 kernels."""
-        from speedplusbaseline_tpu.ops.phase_conv import (
-            conv9x9_phase_border,
-            conv9x9_phase_dp,
-        )
-
-        x = rng.rand(2, 20, 24, 3).astype(np.float32)
-        w = (rng.randn(9, 9, 3, 4) * 0.2).astype(np.float32)
-        b = rng.randn(4).astype(np.float32)
-        x4 = space_to_depth2(jnp.asarray(x))
-
-        ref = conv9x9_phase(x4, jnp.asarray(w), jnp.asarray(b))
-        ours = conv9x9_phase_border(x4, jnp.asarray(w), jnp.asarray(b))
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
-                                   rtol=1e-5, atol=2e-5)
-
-        refdp = conv9x9_phase_dp(x4, jnp.asarray(w), jnp.asarray(b))
-        oursdp = conv9x9_phase_border(x4, jnp.asarray(w), jnp.asarray(b),
-                                      dp=True)
-        np.testing.assert_allclose(np.asarray(oursdp), np.asarray(refdp),
-                                   rtol=1e-5, atol=2e-5)
-
-    def test_quad_packed_matches(self, rng, prec):
-        """conv9x9_phase_qp (double-packed input AND output, the l0 K-
-        fattening lowering) equals s2d of the stride-1 phase conv."""
-        from speedplusbaseline_tpu.ops.phase_conv import conv9x9_phase_qp
-
-        x = rng.rand(2, 20, 24, 3).astype(np.float32)
-        w = (rng.randn(9, 9, 3, 4) * 0.2).astype(np.float32)
-        b = rng.randn(4).astype(np.float32)
-        x4 = space_to_depth2(jnp.asarray(x))
-
-        ref = space_to_depth2(conv9x9_phase(x4, jnp.asarray(w),
-                                            jnp.asarray(b)))
-        ours = conv9x9_phase_qp(x4, jnp.asarray(w), jnp.asarray(b))
-        assert ours.shape == (2, 5, 6, 64)
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
-                                   rtol=1e-5, atol=2e-5)
-
 
 class TestPhaseInstanceNorm:
     def test_packed_matches_full_res(self, rng, prec):
