@@ -101,6 +101,21 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
     return state
 
 
+def _fetch_global(tree):
+    """device_get that works under multi-host: per-example eval outputs are
+    batch-sharded over the global mesh, so other hosts' shards are not
+    addressable locally — re-shard to fully-replicated (one all-gather over
+    ICI/DCN) before fetching. Single-process: a plain device_get."""
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return tree
+    mesh = leaves[0].sharding.mesh
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.device_get(jax.jit(lambda t: t, out_shardings=rep)(tree))
+
+
 def run_validation(epoch, cfg, eval_step, params, batch_stats, loader, writer):
     """Batched validation producing the reference's metrics + txt dumps
     (inference.py:95-142). Works for both KRN and SPN eval steps."""
@@ -119,10 +134,10 @@ def run_validation(epoch, cfg, eval_step, params, batch_stats, loader, writer):
     start = time.time()
     for idx, batch in enumerate(loader):
         out = eval_step(params, batch_stats, batch)
-        out = jax.device_get(out)
+        out = _fetch_global(out)
         # Trim loader padding (partial tail batches are padded + masked).
         if "valid" in batch:
-            keep = np.asarray(jax.device_get(batch["valid"])) > 0.5
+            keep = np.asarray(_fetch_global(batch["valid"])) > 0.5
             out = {k: v[keep] for k, v in out.items()}
         B = out["err_q"].shape[0]
 

@@ -30,6 +30,10 @@ def workdir(tmp_path_factory):
                      "--jsonfile", "train.json",
                      "--csvfile", "splits_krn/train.csv",
                      "--model_name", "krn"])
+    preprocess.main(["--dataroot", tmp, "--domain", "lightbox",
+                     "--jsonfile", "test.json",
+                     "--csvfile", "splits_krn/lightbox.csv",
+                     "--model_name", "krn"])
     return tmp
 
 
@@ -59,7 +63,9 @@ def test_two_process_matches_single_process(workdir, tmp_path):
     logs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # Two children compile train + eval + EPnP concurrently; on a
+            # loaded 1-core container that can exceed 10 minutes wall-clock.
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -74,6 +80,22 @@ def test_two_process_matches_single_process(workdir, tmp_path):
     np.testing.assert_array_equal(a["keypts"], b["keypts"])
     np.testing.assert_allclose(a["param_norms"], b["param_norms"], rtol=1e-6)
     np.testing.assert_allclose(a["first_leaf"], b["first_leaf"], atol=1e-6)
+
+    # Validation ran under 2 processes (run_validation's replicated fetch of
+    # batch-sharded per-example outputs + the pad-to-mesh eval batch): both
+    # processes must see the SAME finite metrics.
+    np.testing.assert_allclose(a["valid_metrics"], b["valid_metrics"],
+                               rtol=1e-6)
+    assert np.all(np.isfinite(a["valid_metrics"]))
+    assert 0 < a["valid_metrics"][0] <= 180.0  # eR in degrees
+
+    # Checkpoint -> resume -> second step: identical across processes, and
+    # the second step actually moved the parameters.
+    np.testing.assert_allclose(a["resumed_norms"], b["resumed_norms"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(a["resumed_first_leaf"],
+                               b["resumed_first_leaf"], atol=1e-6)
+    assert float(np.max(np.abs(a["resumed_first_leaf"] - a["first_leaf"]))) > 0
 
     # Single-process reference over this pytest process's 8 local devices:
     # same loader, same step — the global batch and the update must match.
