@@ -19,6 +19,12 @@ the soft-label CE + regression losses and validates through the reference's
 top-k -> weighted-quaternion-mean -> Gauss-Newton-position eval path
 (inference.py:146-225, computePositionSPN.py:33-86); done = eR/speed collapse
 from random-init levels on unseen images, like the KRN Run B record.
+``--num_classes N`` swaps the 5000-bin reference asset for N FPS-sampled
+bins (data/synthetic.py generate_attitude_classes) — 5000-way classification
+is unlearnable from a few thousand random-init images without the
+reference's bvlc_alexnet bootstrap (BASELINE.md round-4 SPN diagnosis), so
+the proof scales the bin count to the data, through the same CLI/flags
+(--num_classes/--attitude_class are real train.py surface).
 Writes the eR/eT/speed curve to stdout and a JSON summary line at the end.
 Passing an explicit ``root`` keeps the dataset and checkpoints across
 invocations (train.py auto-resumes), so a remote-compile stall can be
@@ -42,18 +48,30 @@ import speedplusbaseline_tpu  # noqa: F401
 _GEN = """
 import sys
 import os.path as osp
+import numpy as np
 from speedplusbaseline_tpu.data import generate_fake_speedplus
 from speedplusbaseline_tpu.data.preprocess import json2csv
-root, n_train, w, h, model, cache_dir = (sys.argv[1], int(sys.argv[2]),
-    int(sys.argv[3]), int(sys.argv[4]), sys.argv[5], sys.argv[6])
-generate_fake_speedplus(root, num_train=n_train, num_test=48, width=w, height=h,
-                        domains=("synthetic",))
+root, n_train, w, h, model, cache_dir, num_classes = (sys.argv[1],
+    int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5],
+    sys.argv[6], int(sys.argv[7]))
+# Each stage skips work that already exists, so a root prepared with
+# hardlinked images/cache from an earlier run only regenerates CSVs/bins.
+if not osp.isdir(osp.join(root, "speedplus", "synthetic", "images")):
+    generate_fake_speedplus(root, num_train=n_train, num_test=48, width=w,
+                            height=h, domains=("synthetic",))
+att = ""
+if num_classes:
+    from speedplusbaseline_tpu.data.synthetic import generate_attitude_classes
+    att = osp.join(root, "attitude_classes_%d.npy" % num_classes)
+    if not osp.exists(att):
+        np.save(att, generate_attitude_classes(num_classes))
 sp = "splits_" + model
 json2csv(root, "speedplus", "synthetic", "train.json",
-         sp + "/train.csv", model_name=model)
+         sp + "/train.csv", model_name=model, attitude_class=att)
 json2csv(root, "speedplus", "synthetic", "test.json",
-         sp + "/validation.csv", model_name=model)
-if cache_dir:
+         sp + "/validation.csv", model_name=model, attitude_class=att)
+if cache_dir and not osp.exists(osp.join(
+        cache_dir, "speedplus", "synthetic", "cache_manifest.csv")):
     from speedplusbaseline_tpu.data.cache import build_cache
     build_cache(root, "speedplus", "synthetic",
                 [osp.join(root, "speedplus", "synthetic", sp, "train.csv"),
@@ -63,27 +81,32 @@ if cache_dir:
 
 
 def _generate(root: str, n_train: int, width: int, height: int,
-              model: str, cache_dir: str) -> None:
+              model: str, cache_dir: str, num_classes: int = 0) -> None:
     """Render the fake dataset in a CPU subprocess: the generator makes one
     tiny project_keypoints jax call per image, which is instant on CPU but
     crawls (or stalls) when dispatched through the TPU remote tunnel."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     subprocess.run([sys.executable, "-c", _GEN, root, str(n_train),
-                    str(width), str(height), model, cache_dir],
+                    str(width), str(height), model, cache_dir,
+                    str(num_classes)],
                    check=True, env=env,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(root: str, n_train: int, epochs: int, input_hw: int,
         test_every: int, extra=(), width: int = 320, height: int = 200,
-        model: str = "krn", cache: bool = False) -> dict:
+        model: str = "krn", cache: bool = False, num_classes: int = 0) -> dict:
     import train
     from speedplusbaseline_tpu.config import parse_cfg
 
     cache_dir = os.path.join(root, "cache") if cache else ""
     if not os.path.exists(os.path.join(
             root, "speedplus", "synthetic", "splits_" + model, "train.csv")):
-        _generate(root, n_train, width, height, model, cache_dir)
+        _generate(root, n_train, width, height, model, cache_dir, num_classes)
+    class_flags = []
+    if num_classes:
+        class_flags = ["--num_classes", str(num_classes), "--attitude_class",
+                       os.path.join(root, f"attitude_classes_{num_classes}.npy")]
 
     cfg = parse_cfg([
         "--dataroot", root,
@@ -101,7 +124,8 @@ def run(root: str, n_train: int, epochs: int, input_hw: int,
         "--lr", "1e-3",
         "--weight_decay", "0.01",
         "--test_epoch", str(test_every),
-    ] + (["--cache_dir", cache_dir] if cache_dir else []) + list(extra))
+    ] + class_flags
+      + (["--cache_dir", cache_dir] if cache_dir else []) + list(extra))
     train.main(cfg)
 
     curve = {}
@@ -128,12 +152,17 @@ def main():
     p.add_argument("--render_h", type=int, default=200)
     p.add_argument("--cache", action="store_true",
                    help="pre-decode the RoI cache (data/cache.py)")
+    p.add_argument("--num_classes", type=int, default=0,
+                   help="SPN only: train against this many FPS-sampled "
+                        "attitude bins instead of the 5000-bin reference "
+                        "asset (see BASELINE.md round-4 SPN diagnosis)")
     args, extra = p.parse_known_args()
     input_hw = args.input or (227 if args.model == "spn" else 224)
     n_train, epochs, test_every = args.n_train, args.epochs, args.test_every
 
     kw = dict(extra=extra, width=args.render_w, height=args.render_h,
-              model=args.model, cache=args.cache)
+              model=args.model, cache=args.cache,
+              num_classes=args.num_classes)
     if args.root:
         os.makedirs(args.root, exist_ok=True)
         curve = run(args.root, n_train, epochs, input_hw, test_every, **kw)
@@ -154,6 +183,7 @@ def main():
         "convergence_final_speed": round(last.get("Valid/speed (raw) [-]", -1), 5),
         "model": args.model,
         "n_train": n_train, "epochs": epochs, "input": input_hw,
+        "num_classes": args.num_classes or None,
     }))
 
 

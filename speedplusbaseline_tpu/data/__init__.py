@@ -1,7 +1,7 @@
 from .transforms import random_crop, resize_crop
 from .csv_dataset import KRNDataset, SPNDataset, build_dataset
 from .loader import DataLoader, make_dataloader
-from .synthetic import generate_fake_speedplus
+from .synthetic import generate_attitude_classes, generate_fake_speedplus
 
 __all__ = [
     "random_crop",
@@ -11,5 +11,6 @@ __all__ = [
     "build_dataset",
     "DataLoader",
     "make_dataloader",
+    "generate_attitude_classes",
     "generate_fake_speedplus",
 ]

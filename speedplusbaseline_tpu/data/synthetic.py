@@ -166,3 +166,30 @@ def generate_fake_speedplus(
             with open(os.path.join(dataroot, domain, f"{split}.json"), "w") as f:
                 json.dump(labels, f)
     return dataroot
+
+
+def generate_attitude_classes(num_classes: int, seed: int = 0,
+                              pool: int = 100_000) -> np.ndarray:
+    """Farthest-point-sampled unit-quaternion attitude bins, scalar-first,
+    with q and -q identified (SO(3), not S³).
+
+    A uniform stand-in for the reference's 5000-bin attitudeClasses.mat
+    (spn.py:101; train.py:119) at class counts the fake dataset can actually
+    cover: 5000-way classification from a few thousand random-init images is
+    unlearnable without the reference's bvlc_alexnet bootstrap (BASELINE.md,
+    round-4 SPN diagnosis), so the convergence harness scales the bin count
+    to the data. FPS over a seeded uniform pool gives a near-optimal covering
+    radius, i.e. the best quantization floor per class.
+    """
+    rs = np.random.RandomState(seed)
+    q = rs.randn(pool, 4)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[q[:, 0] < 0] *= -1.0
+    picked = np.empty((num_classes, 4), np.float64)
+    picked[0] = q[0]
+    # 1 - |q·p| is monotone in geodesic distance and identifies q with -q.
+    mind = 1.0 - np.abs(q @ picked[0])
+    for i in range(1, num_classes):
+        picked[i] = q[int(np.argmax(mind))]
+        np.minimum(mind, 1.0 - np.abs(q @ picked[i]), out=mind)
+    return picked.astype(np.float32)
