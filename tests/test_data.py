@@ -68,6 +68,36 @@ class TestDomainGap:
         assert mean_of("lightbox") > mean_of("synthetic") + 20
 
 
+class TestAttitudeClassGeneration:
+    """FPS-sampled attitude bins (data/synthetic.py) — the reduced-class
+    stand-in for the reference's attitudeClasses.mat used by the SPN
+    convergence harness (BASELINE.md round-4 SPN diagnosis)."""
+
+    def test_bins_are_unit_scalar_first_and_cover(self):
+        from speedplusbaseline_tpu.data import generate_attitude_classes
+
+        bins = generate_attitude_classes(64, seed=3)
+        assert bins.shape == (64, 4) and bins.dtype == np.float32
+        np.testing.assert_allclose(np.linalg.norm(bins, axis=1), 1.0,
+                                   atol=1e-5)
+        assert (bins[:, 0] >= 0).all()  # q/-q identified, scalar-first
+        # FPS coverage: every random attitude has a bin within the uniform
+        # covering bound for SO(3) (64 random bins would routinely miss).
+        rs = np.random.RandomState(0)
+        q = rs.randn(2000, 4)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        nearest = 2 * np.degrees(np.arccos(np.clip(
+            np.abs(q @ bins.T.astype(np.float64)).max(axis=1), -1, 1)))
+        assert np.median(nearest) < 40.0 and nearest.max() < 75.0
+
+    def test_deterministic(self):
+        from speedplusbaseline_tpu.data import generate_attitude_classes
+
+        a = generate_attitude_classes(16, seed=1)
+        b = generate_attitude_classes(16, seed=1)
+        np.testing.assert_array_equal(a, b)
+
+
 class TestPreprocess:
     def test_fake_targets_fully_in_frame(self, fake_root):
         """Every generated pose must project all keypoints inside the frame
