@@ -110,6 +110,42 @@ class TestBvlcConversion:
         np.testing.assert_array_equal(np.asarray(out["fc6"]["kernel"]),
                                       np.asarray(v["params"]["fc6"]["kernel"]))
 
+    def test_dump_spn_convs_roundtrip(self, tmp_path):
+        """scripts/dump_spn_convs.py closes the bvlc transfer loop: a trained
+        flax checkpoint's conv1-5 must survive dump -> bvlc_alexnet.npy ->
+        convert_bvlc_alexnet into a model with a DIFFERENT head width (the
+        reference arc: 500-class-trained trunk bootstraps the 5000-class
+        task, mirroring spn.py:101-123's caffe init)."""
+        import sys
+
+        sys.path.insert(0, "scripts")
+        from dump_spn_convs import dump
+
+        from flax import serialization
+
+        src = SpacecraftPoseNet(50)
+        v = src.init({"params": jax.random.PRNGKey(1)},
+                     jnp.zeros((1, 227, 227, 3)), train=False)
+        ckpt = tmp_path / "model_best.msgpack"
+        ckpt.write_bytes(serialization.msgpack_serialize(
+            serialization.to_state_dict(v)))
+
+        out_npy = tmp_path / "bvlc_alexnet.npy"
+        dump(str(ckpt), str(out_npy))
+
+        dst = SpacecraftPoseNet(120)  # different class count than the donor
+        v2 = dst.init({"params": jax.random.PRNGKey(2)},
+                      jnp.zeros((1, 227, 227, 3)), train=False)
+        loaded = np.load(out_npy, allow_pickle=True).item()
+        out = convert_bvlc_alexnet(loaded, v2["params"])
+        for name in ["conv1", "conv2", "conv3", "conv4", "conv5"]:
+            np.testing.assert_array_equal(
+                np.asarray(out[name]["kernel"]),
+                np.asarray(v["params"][name]["kernel"]))
+        # the new head keeps its fresh init (its shape differs from the donor)
+        np.testing.assert_array_equal(np.asarray(out["fc8"]["kernel"]),
+                                      np.asarray(v2["params"]["fc8"]["kernel"]))
+
 
 def fake_ghiasi_sd(rng):
     sd = {}
