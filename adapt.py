@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speedplusbaseline_tpu.config import parse_cfg, save_cfg
+from speedplusbaseline_tpu.config import check_resume_compat, parse_cfg, save_cfg
 from speedplusbaseline_tpu.data import make_dataloader
 from speedplusbaseline_tpu.engine import (
     build_optimizer,
@@ -48,6 +48,8 @@ def main(cfg=None):
     os.makedirs(cfg.savedir, exist_ok=True)
     logger.info("Checkpoints will be saved to %s", cfg.savedir)
     writer = SummaryWriter(cfg.logdir)
+    if cfg.auto_resume and checkpoint_exists(cfg.savedir):
+        check_resume_compat(cfg, cfg.savedir)
     save_cfg(cfg, cfg.savedir)
 
     mesh = make_mesh(cfg.num_devices, cfg.batch_size)

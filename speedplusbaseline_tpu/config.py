@@ -123,3 +123,41 @@ def save_cfg(cfg, savedir: str, filename: str = "config.txt") -> None:
     with open(os.path.join(savedir, filename), "w") as f:
         json.dump({k: (list(v) if isinstance(v, tuple) else v)
                    for k, v in vars(cfg).items()}, f, indent=2)
+
+
+# Flags that determine the checkpoint's pytree structure (param shapes and the
+# optax chain). Resuming with any of these changed makes flax's strict
+# from_state_dict fail with an opaque structure error deep in serialization.
+_RESUME_STRUCTURAL_KEYS = ("model_name", "optimizer", "num_classes",
+                           "num_keypoints", "input_shape", "dann")
+
+
+def check_resume_compat(cfg, savedir: str, filename: str = "config.txt") -> None:
+    """Fail fast, with a readable message, when an auto-resume is about to
+    restore a checkpoint written under structurally different flags.
+
+    Must run BEFORE save_cfg (which overwrites the snapshot being compared).
+    The reference has no such guard (its torch load just errors on shape
+    mismatch); here the optax chain makes the raw failure especially cryptic.
+    """
+    path = os.path.join(savedir, filename)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        saved = json.load(f)
+    mismatched = []
+    for key in _RESUME_STRUCTURAL_KEYS:
+        if key not in saved:
+            continue
+        old, new = saved[key], getattr(cfg, key)
+        if isinstance(new, tuple):
+            new = list(new)
+        if old != new:
+            mismatched.append(f"{key}: checkpoint={old!r} vs current={new!r}")
+    if mismatched:
+        raise ValueError(
+            "auto-resume config mismatch — the checkpoint in "
+            f"{savedir!r} was written with different structural flags:\n  "
+            + "\n  ".join(mismatched)
+            + "\nPass --start_over to ignore the checkpoint, or rerun with "
+            "the original flags (see the saved config.txt).")

@@ -66,3 +66,52 @@ class TestMisc:
         mu, std = compute_mean_std(batches)
         np.testing.assert_allclose(mu, [0.6, 0.6, 0.6], atol=1e-6)
         np.testing.assert_allclose(std, 0.0, atol=1e-6)
+
+
+class TestResumeCompat:
+    """check_resume_compat fails fast on structural flag changes (the raw
+    failure is an opaque flax from_state_dict error deep in optax state)."""
+
+    def _write_snapshot(self, tmp_path, **overrides):
+        from speedplusbaseline_tpu.config import default_cfg, save_cfg
+
+        save_cfg(default_cfg(**overrides), str(tmp_path))
+
+    def test_matching_config_passes(self, tmp_path):
+        from speedplusbaseline_tpu.config import check_resume_compat, default_cfg
+
+        self._write_snapshot(tmp_path, optimizer="adamw")
+        check_resume_compat(default_cfg(optimizer="adamw"), str(tmp_path))
+
+    def test_optimizer_change_raises(self, tmp_path):
+        import pytest
+
+        from speedplusbaseline_tpu.config import check_resume_compat, default_cfg
+
+        self._write_snapshot(tmp_path, optimizer="adamw")
+        with pytest.raises(ValueError, match="optimizer.*adamw"):
+            check_resume_compat(default_cfg(optimizer="rmsprop"), str(tmp_path))
+
+    def test_model_and_shape_changes_raise(self, tmp_path):
+        import pytest
+
+        from speedplusbaseline_tpu.config import check_resume_compat, default_cfg
+
+        self._write_snapshot(tmp_path, model_name="spn", input_shape=(227, 227))
+        with pytest.raises(ValueError, match="model_name"):
+            check_resume_compat(
+                default_cfg(model_name="krn", input_shape=(224, 224)),
+                str(tmp_path))
+
+    def test_non_structural_change_passes(self, tmp_path):
+        from speedplusbaseline_tpu.config import check_resume_compat, default_cfg
+
+        self._write_snapshot(tmp_path, lr=1e-3, max_epochs=30)
+        # lr / epochs / batch size may legitimately change across resumes.
+        check_resume_compat(default_cfg(lr=5e-4, max_epochs=60, batch_size=16),
+                            str(tmp_path))
+
+    def test_missing_snapshot_passes(self, tmp_path):
+        from speedplusbaseline_tpu.config import check_resume_compat, default_cfg
+
+        check_resume_compat(default_cfg(), str(tmp_path))

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speedplusbaseline_tpu.config import parse_cfg, save_cfg
+from speedplusbaseline_tpu.config import check_resume_compat, parse_cfg, save_cfg
 from speedplusbaseline_tpu.augment import StyleAugmentor, load_style_stats
 from speedplusbaseline_tpu.data import make_dataloader
 from speedplusbaseline_tpu.engine import (
@@ -61,6 +61,8 @@ def main(cfg=None):
     logger.info("Checkpoints will be saved to %s", cfg.savedir)
     writer = SummaryWriter(cfg.logdir)
     logger.info("Logs will be saved to %s", cfg.logdir)
+    if cfg.auto_resume and checkpoint_exists(cfg.savedir):
+        check_resume_compat(cfg, cfg.savedir)
     save_cfg(cfg, cfg.savedir)
 
     mesh = make_mesh(cfg.num_devices, cfg.batch_size)
