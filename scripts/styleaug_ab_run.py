@@ -32,8 +32,72 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)
 
 import json
 import os
+import subprocess
+import sys
 
 from scripts.dann_adaptation_run import _curve, _generate, _run_arm
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Photometric-only target split: source-style blob markers in the target
+# domain's photometric environment (data/synthetic.py "blobs_bright") —
+# the gap class style augmentation is designed for, as opposed to the
+# structural ring-marker gap only target-data adaptation (DANN) can cross.
+_GEN_PHOTO = """
+import sys
+from speedplusbaseline_tpu.data import generate_fake_speedplus
+from speedplusbaseline_tpu.data.preprocess import json2csv
+from speedplusbaseline_tpu.data.cache import build_cache
+import os.path as osp
+root, n, w, h = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+cache_dir = sys.argv[5]
+generate_fake_speedplus(root, num_train=0, num_test=n, width=w, height=h,
+                        domains=("sunlamp",), seed=2,
+                        domain_styles={"sunlamp": "blobs_bright"})
+json2csv(root, "speedplus", "sunlamp", "test.json",
+         "splits_krn/test.csv", model_name="krn")
+build_cache(root, "speedplus", "sunlamp",
+            [osp.join(root, "speedplus", "sunlamp", "splits_krn", "test.csv")],
+            cache_dir)
+"""
+
+
+def _eval_arm(root, tag, ckpt, retries, timeout_s):
+    """Score one trained checkpoint on the photometric-gap sunlamp split
+    through the real test.py CLI; returns the parsed results dict."""
+    logdir = os.path.join(root, f"log_photo_{tag}")
+    _run_arm("test.py", [
+        "--dataroot", root,
+        "--input_shape", "224", "224",
+        "--test_domain", "sunlamp", "--test_csv", "test.csv",
+        "--eval_batch_size", "48", "--batch_size", "48",
+        "--cache_dir", os.path.join(root, "cache"),
+        "--pretrained", ckpt,
+        "--logdir", logdir, "--resultfn", "results.txt",
+    ], retries, timeout_s)
+    out = {}
+    with open(os.path.join(logdir, "results.txt")) as f:
+        for line in f:
+            metric, rest = line.split(":", 1)
+            out[metric.strip()] = float(rest.split("[")[0])
+    return out
+
+
+def photometric_eval(root, n_eval, width, height, retries, timeout_s):
+    if not os.path.exists(os.path.join(
+            root, "speedplus", "sunlamp", "splits_krn", "test.csv")):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, "-c", _GEN_PHOTO, root, str(n_eval),
+             str(width), str(height), os.path.join(root, "cache")],
+            check=True, env=env, cwd=REPO)
+    src = _eval_arm(root, "src",
+                    os.path.join(root, "save_src", "model_best.msgpack"),
+                    retries, timeout_s)
+    style = _eval_arm(root, "style",
+                      os.path.join(root, "save_style", "model_best.msgpack"),
+                      retries, timeout_s)
+    return src, style
 
 
 def run(root, n_src, n_tgt, epochs, test_every, width, height, retries,
@@ -102,6 +166,17 @@ def main():
                   f"{c.get('Valid/err_q [deg]', float('nan')):8.3f} "
                   f"{c.get('Valid/err_t [m]', float('nan')):8.4f} "
                   f"{c.get('Valid/speed (raw) [-]', float('nan')):10.5f}")
+    # Photometric-only gap: evaluate both trained checkpoints on the
+    # blobs_bright sunlamp split (no retraining — test.py CLI).
+    photo_src, photo_style = photometric_eval(
+        args.root, 192, args.render_w, args.render_h,
+        args.retries, args.timeout_s)
+    print("\n       photometric-gap (sunlamp blobs_bright) test")
+    print(f"src    eR {photo_src.get('eR', -1):8.3f}  "
+          f"speed {photo_src.get('speed (raw)', -1):8.4f}")
+    print(f"style  eR {photo_style.get('eR', -1):8.3f}  "
+          f"speed {photo_style.get('speed (raw)', -1):8.4f}")
+
     a = src[max(src)]
     c = style[max(style)]
     print(json.dumps({
@@ -109,6 +184,10 @@ def main():
         "src_only_final_speed": round(a.get("Valid/speed (raw) [-]", -1), 4),
         "styleaug_final_eR_deg": round(c.get("Valid/err_q [deg]", -1), 3),
         "styleaug_final_speed": round(c.get("Valid/speed (raw) [-]", -1), 4),
+        "photo_src_eR_deg": photo_src.get("eR", -1),
+        "photo_style_eR_deg": photo_style.get("eR", -1),
+        "photo_src_speed": photo_src.get("speed (raw)", -1),
+        "photo_style_speed": photo_style.get("speed (raw)", -1),
         "epochs": args.epochs,
     }))
 

@@ -63,11 +63,21 @@ def _render(width, height, uv, rs, style="blobs"):
       transforms.py:71-110) do NOT cover, so bridging it requires domain
       adaptation rather than augmentation. This is what makes the DANN
       adaptation demo (scripts/dann_adaptation_run.py) well-posed.
+    - ``"blobs_bright"``: the SAME gaussian-blob markers as the source but
+      in the rings style's photometric environment (bright striped
+      background, optical blur) — a PURELY photometric/low-level gap with
+      no structural (marker-shape) change. This is the split style
+      augmentation is supposed to cover (reference README.md:20 randomizes
+      texture/color, not geometry), so it separates "styleaug helps where
+      the gap is photometric" from "no augmentation can invent unseen
+      marker shapes" in scripts/styleaug_ab_run.py.
     """
     import colorsys
 
+    bright_bg = style in ("rings", "blobs_bright")
+    ring_markers = style == "rings"
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
-    if style == "rings":
+    if bright_bg:
         stripes = 0.5 + 0.5 * np.sin(
             2.0 * np.pi * (3.0 * xx / width + 2.0 * yy / height))
         img = (35.0 + 45.0 * stripes)[..., None] + (
@@ -80,14 +90,14 @@ def _render(width, height, uv, rs, style="blobs"):
         u, v = uv[0, i], uv[1, i]
         color = np.array(colorsys.hsv_to_rgb(i / max(k, 1), 1.0, 1.0),
                          dtype=np.float32)
-        if style == "rings":
+        if ring_markers:
             r = np.sqrt((xx - u) ** 2 + (yy - v) ** 2)
             marker = np.exp(-((r - 4.0) ** 2) / (2.0 * 1.2**2))
         else:
             marker = np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / (2.0 * 2.5**2))
         img += marker[..., None] * (0.35 + 0.65 * color[None, None]) * 255.0
     img = np.clip(img, 0, 255)
-    if style == "rings":
+    if bright_bg:
         from scipy.ndimage import gaussian_filter
 
         img = gaussian_filter(img, sigma=(1.0, 1.0, 0.0))

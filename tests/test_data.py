@@ -55,6 +55,21 @@ class TestDomainGap:
         # Background statistics differ (bright striped vs dim noise).
         assert rings.mean() > blobs.mean() + 20
 
+    def test_blobs_bright_is_a_photometric_only_gap(self):
+        """blobs_bright = source marker SHAPE in the target's photometric
+        environment — the split scripts/styleaug_ab_run.py scores on."""
+        from speedplusbaseline_tpu.data.synthetic import _render
+
+        rs = np.random.RandomState(0)
+        uv = np.array([[60.0], [60.0]])
+        blobs = _render(128, 128, uv, rs, style="blobs").astype(np.int32)
+        bb = _render(128, 128, uv, rs, style="blobs_bright").astype(np.int32)
+        # Marker structure matches the SOURCE style (peak at the keypoint,
+        # not an annulus)...
+        assert bb[60, 60].max() > bb[60, 64].max()
+        # ...but the photometric environment matches the TARGET style.
+        assert bb.mean() > blobs.mean() + 20
+
     def test_generated_domains_carry_the_gap(self, fake_root):
         from PIL import Image
 
