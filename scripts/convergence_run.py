@@ -100,13 +100,21 @@ def run(root: str, n_train: int, epochs: int, input_hw: int,
     from speedplusbaseline_tpu.config import parse_cfg
 
     cache_dir = os.path.join(root, "cache") if cache else ""
-    if not os.path.exists(os.path.join(
-            root, "speedplus", "synthetic", "splits_" + model, "train.csv")):
-        _generate(root, n_train, width, height, model, cache_dir, num_classes)
     class_flags = []
+    attitude_npy = ""
     if num_classes:
-        class_flags = ["--num_classes", str(num_classes), "--attitude_class",
-                       os.path.join(root, f"attitude_classes_{num_classes}.npy")]
+        attitude_npy = os.path.join(root, f"attitude_classes_{num_classes}.npy")
+        class_flags = ["--num_classes", str(num_classes),
+                       "--attitude_class", attitude_npy]
+    # Regenerate when train.csv OR the requested attitude-bin file is
+    # missing: a root prepared by a run with a different --num_classes has
+    # stale CSV class columns and no attitude_classes_{N}.npy, and _GEN's
+    # stage-level skip-existing logic only helps once _generate is invoked
+    # (it skips the image render, regenerates bins + CSVs).
+    if not os.path.exists(os.path.join(
+            root, "speedplus", "synthetic", "splits_" + model, "train.csv")) \
+            or (attitude_npy and not os.path.exists(attitude_npy)):
+        _generate(root, n_train, width, height, model, cache_dir, num_classes)
 
     cfg = parse_cfg([
         "--dataroot", root,

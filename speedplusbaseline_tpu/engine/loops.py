@@ -7,6 +7,7 @@ Console output and TensorBoard tags match the reference so existing tooling
 """
 from __future__ import annotations
 
+import functools
 import os
 import os.path as osp
 import time
@@ -95,10 +96,20 @@ def train_epoch(epoch, cfg, state, train_step, loader, rng, writer,
     if pending is not None:
         _flush(pending)
 
-    if writer is not None:
+    if writer is not None and jax.process_index() == 0:
         for name in names:
             writer.add_scalar(f"train/{name}", meters[name].avg, epoch)
     return state
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate_fn(mesh):
+    """Per-mesh cached jitted replicating identity. A fresh jax.jit wrapper
+    per call would re-trace/compile every validation batch — one extra
+    dispatched program per batch, against this machine's tunnel protocol
+    (CLAUDE.md). The jit object itself caches per input tree/shape."""
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.jit(lambda t: t, out_shardings=rep)
 
 
 def _fetch_global(tree):
@@ -111,9 +122,7 @@ def _fetch_global(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     if not leaves:
         return tree
-    mesh = leaves[0].sharding.mesh
-    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    return jax.device_get(jax.jit(lambda t: t, out_shardings=rep)(tree))
+    return jax.device_get(_replicate_fn(leaves[0].sharding.mesh)(tree))
 
 
 def run_validation(epoch, cfg, eval_step, params, batch_stats, loader, writer):
@@ -158,18 +167,21 @@ def run_validation(epoch, cfg, eval_step, params, batch_stats, loader, writer):
                         speed=meters["speed (raw)"], acc=acc_meter)
         start = time.time()
 
-    if writer is not None:
-        writer.add_scalar("Valid/err_q [deg]", meters["eR"].avg, epoch)
-        writer.add_scalar("Valid/err_t [m]", meters["eT"].avg, epoch)
-        writer.add_scalar("Valid/speed (raw) [-]", meters["speed (raw)"].avg, epoch)
-        writer.add_scalar("Valid/speed (thr) [-]", meters["speed (thr)"].avg, epoch)
+    # Metrics are identical on all hosts after the replicated fetch; only
+    # process 0 writes scalars + txt dumps (hosts often share a filesystem).
+    if jax.process_index() == 0:
+        if writer is not None:
+            writer.add_scalar("Valid/err_q [deg]", meters["eR"].avg, epoch)
+            writer.add_scalar("Valid/err_t [m]", meters["eT"].avg, epoch)
+            writer.add_scalar("Valid/speed (raw) [-]", meters["speed (raw)"].avg, epoch)
+            writer.add_scalar("Valid/speed (thr) [-]", meters["speed (thr)"].avg, epoch)
 
-    os.makedirs(cfg.logdir, exist_ok=True)
-    for fname, values in (("err_q.txt", err_q_all), ("err_t.txt", err_t_all),
-                          ("speed_raw.txt", speed_raw_all),
-                          ("speed_mod.txt", speed_mod_all)):
-        with open(osp.join(cfg.logdir, fname), "w") as f:
-            for v in values:
-                f.write(f"{v:.5f}\n")
+        os.makedirs(cfg.logdir, exist_ok=True)
+        for fname, values in (("err_q.txt", err_q_all), ("err_t.txt", err_t_all),
+                              ("speed_raw.txt", speed_raw_all),
+                              ("speed_mod.txt", speed_mod_all)):
+            with open(osp.join(cfg.logdir, fname), "w") as f:
+                for v in values:
+                    f.write(f"{v:.5f}\n")
 
     return meters
