@@ -66,8 +66,16 @@ build_cache(root, "speedplus", "synthetic",
 def _prepare_assets(donor: str, assets_dir: str) -> None:
     """Donor msgpack -> torchvision .pth -> converted backbone msgpack, via
     the real dump + convert CLIs (CPU subprocesses; the donor file is pure
-    host-side numpy either way)."""
+    host-side numpy either way). SPEEDPLUS_ASSETS_DIR redirects ALL asset
+    lookups (tango_points.npy etc.), so mirror the standard assets in."""
+    import shutil
+
     os.makedirs(assets_dir, exist_ok=True)
+    std = os.path.join(REPO, "assets")
+    for fn in os.listdir(std):
+        dst = os.path.join(assets_dir, fn)
+        if not os.path.exists(dst):
+            shutil.copy2(os.path.join(std, fn), dst)
     out = os.path.join(assets_dir, "mobilenetv2_backbone.msgpack")
     if os.path.exists(out):
         return

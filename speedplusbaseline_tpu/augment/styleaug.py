@@ -65,7 +65,8 @@ class StyleAugmentor:
 
     def __init__(self, alpha: float, stats, dtype=jnp.float32,
                  use_pallas: Optional[bool] = None,
-                 tpu_opt: Optional[bool] = None):
+                 tpu_opt: Optional[bool] = None,
+                 f32_out: bool = False):
         self.alpha = float(alpha)
         A, mean, base = stats
         self.A = jnp.asarray(A)
@@ -83,7 +84,7 @@ class StyleAugmentor:
             # on CPU where XLA's direct lowering is faster to compile.
             tpu_opt = jax.default_backend() not in ("cpu",)
         self.ghiasi = Ghiasi(dtype=dtype, use_pallas=bool(use_pallas),
-                             tpu_opt=bool(tpu_opt))
+                             tpu_opt=bool(tpu_opt), f32_out=f32_out)
 
     def init_params(self, rng, image_shape=(1, 224, 224, 3)):
         variables = self.ghiasi.init(
