@@ -262,6 +262,25 @@ class TestGhiasi:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_f32_out_flag_only_moves_the_cast(self, key, rng):
+        """f32_out=True (round-5 A/B flag) restores the old f32
+        materialization; the default stores the sigmoid output in model
+        dtype. Contract: with dtype=bfloat16 the two differ only by that
+        final cast — bit-identical once the f32 output is cast to bf16 —
+        and each reports its declared dtype. Downstream (engine/steps.py)
+        consumes the styled image in bf16 either way."""
+        x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+        s = jnp.asarray(rng.randn(2, 100).astype(np.float32) * 0.3)
+        bf16 = Ghiasi(dtype=jnp.bfloat16)
+        v = bf16.init({"params": key}, x[:1], s[:1])
+        out_bf16 = bf16.apply(v, x, s)
+        out_f32 = Ghiasi(dtype=jnp.bfloat16, f32_out=True).apply(v, x, s)
+        assert out_bf16.dtype == jnp.bfloat16
+        assert out_f32.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(out_f32.astype(jnp.bfloat16), dtype=np.float32),
+            np.asarray(out_bf16, dtype=np.float32))
+
     def test_tpu_opt_l10_fallback_matches_plain(self, key, rng):
         """The single-packed l10 form (l10_dp=False — the odd-size fallback
         inside the dp gate) is an exact rewrite with the same tree."""
