@@ -6,9 +6,11 @@ the one pretrained-init dependency without an in-environment leverage proof
 (SPN's bvlc arc has one, BASELINE.md round-4). No egress means no ImageNet
 weights, so the arc is reproduced the same way the SPN proof was:
 
-  1. Donor: a KRN trained to convergence on a full synthetic split
-     (default: the 150-epoch src arm of the DANN A/B,
-     runs/dann_ab/save_src/model_best.msgpack).
+  1. Donor: a KRN trained to convergence on a full synthetic split.
+     If ``--donor`` (default runs/dann_ab/save_src/model_best.msgpack)
+     does not exist, the harness trains one itself under ``{root}/donor``
+     (768 images, reference recipe, different render seed than the A/B
+     split) — the run is self-contained.
   2. scripts/dump_krn_backbone.py exports its ``base`` trunk in torchvision
      state-dict format; scripts/convert_torchvision_mobilenet.py converts it
      back exactly as it would a real torchvision .pth; maybe_load_pretrained
@@ -49,8 +51,9 @@ from speedplusbaseline_tpu.data.preprocess import json2csv
 from speedplusbaseline_tpu.data.cache import build_cache
 root, n_train, w, h = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 cache_dir = sys.argv[5]
+seed = int(sys.argv[6])
 generate_fake_speedplus(root, num_train=n_train, num_test=48, width=w,
-                        height=h, domains=("synthetic",), seed=7)
+                        height=h, domains=("synthetic",), seed=seed)
 sp = "splits_krn"
 json2csv(root, "speedplus", "synthetic", "train.json", sp + "/train.csv",
          model_name="krn")
@@ -91,15 +94,53 @@ def _prepare_assets(donor: str, assets_dir: str) -> None:
                    check=True, env=env, cwd=REPO)
 
 
+def _train_donor(root, width, height, retries, timeout_s):
+    """Self-contained donor: 768-image synthetic split (default render seed,
+    distinct from the A/B split's seed=7), reference KRN recipe
+    (README.md:78-87), no mid-run validation. Returns the checkpoint path."""
+    droot = os.path.join(root, "donor")
+    cache_dir = os.path.join(droot, "cache")
+    ckpt = os.path.join(droot, "save", "model_best.msgpack")
+    if os.path.exists(ckpt):
+        return ckpt
+    if not os.path.exists(os.path.join(
+            droot, "speedplus", "synthetic", "splits_krn", "train.csv")):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, "-c", _GEN, droot, "768",
+             str(width), str(height), cache_dir, "0"],
+            check=True, env=env, cwd=REPO)
+    workers = str(max(2, os.cpu_count() or 2))
+    _run_arm("train.py", [
+        "--dataroot", droot,
+        "--input_shape", "224", "224",
+        "--num_workers", workers,
+        "--train_domain", "synthetic", "--train_csv", "train.csv",
+        "--test_domain", "synthetic", "--test_csv", "validation.csv",
+        "--optimizer", "adamw", "--lr", "1e-3", "--weight_decay", "0.01",
+        "--batch_size", "48", "--max_epochs", "120",
+        "--save_epoch", "10",
+        "--cache_dir", cache_dir,
+        "--savedir", os.path.join(droot, "save"),
+        "--logdir", os.path.join(droot, "log"),
+    ], retries, timeout_s)
+    return ckpt
+
+
 def run(root, donor, n_train, epochs, test_every, width, height, retries,
         timeout_s):
+    if not os.path.exists(donor):
+        print(f"[krn_transfer] donor {donor} absent; training one under "
+              f"{root}/donor", flush=True)
+        donor = _train_donor(root, width, height, retries, timeout_s)
+
     cache_dir = os.path.join(root, "cache")
     if not os.path.exists(os.path.join(
             root, "speedplus", "synthetic", "splits_krn", "train.csv")):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         subprocess.run(
             [sys.executable, "-c", _GEN, root, str(n_train),
-             str(width), str(height), cache_dir],
+             str(width), str(height), cache_dir, "7"],
             check=True, env=env, cwd=REPO)
 
     assets_dir = os.path.join(root, "boot_assets")
