@@ -70,6 +70,12 @@ json2csv(root, "speedplus", "synthetic", "train.json",
          sp + "/train.csv", model_name=model, attitude_class=att)
 json2csv(root, "speedplus", "synthetic", "test.json",
          sp + "/validation.csv", model_name=model, attitude_class=att)
+# Stamp which bin count the CSV class columns were generated against, so a
+# later invocation with a different --num_classes knows they are stale.
+import json
+with open(osp.join(root, "speedplus", "synthetic", sp, "gen_meta.json"),
+          "w") as f:
+    json.dump({"num_classes": num_classes}, f)
 if cache_dir and not osp.exists(osp.join(
         cache_dir, "speedplus", "synthetic", "cache_manifest.csv")):
     from speedplusbaseline_tpu.data.cache import build_cache
@@ -93,6 +99,27 @@ def _generate(root: str, n_train: int, width: int, height: int,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _needs_generate(root: str, model: str, attitude_npy: str,
+                    num_classes: int) -> bool:
+    """True when the split CSVs must be (re)generated: train.csv or the
+    requested attitude-bin file is missing, OR the CSVs were last generated
+    against a DIFFERENT --num_classes (json2csv bakes the bins into the
+    class columns; the gen_meta.json stamp records which count was used —
+    without it, reverting to a previously-used count would find both files
+    present and silently train on stale labels)."""
+    split_dir = os.path.join(root, "speedplus", "synthetic", "splits_" + model)
+    if not os.path.exists(os.path.join(split_dir, "train.csv")):
+        return True
+    if attitude_npy and not os.path.exists(attitude_npy):
+        return True
+    try:
+        with open(os.path.join(split_dir, "gen_meta.json")) as f:
+            return json.load(f).get("num_classes", 0) != num_classes
+    except (OSError, ValueError):
+        # Pre-stamp root: trustworthy only for the default-asset case.
+        return bool(num_classes)
+
+
 def run(root: str, n_train: int, epochs: int, input_hw: int,
         test_every: int, extra=(), width: int = 320, height: int = 200,
         model: str = "krn", cache: bool = False, num_classes: int = 0) -> dict:
@@ -106,14 +133,9 @@ def run(root: str, n_train: int, epochs: int, input_hw: int,
         attitude_npy = os.path.join(root, f"attitude_classes_{num_classes}.npy")
         class_flags = ["--num_classes", str(num_classes),
                        "--attitude_class", attitude_npy]
-    # Regenerate when train.csv OR the requested attitude-bin file is
-    # missing: a root prepared by a run with a different --num_classes has
-    # stale CSV class columns and no attitude_classes_{N}.npy, and _GEN's
-    # stage-level skip-existing logic only helps once _generate is invoked
-    # (it skips the image render, regenerates bins + CSVs).
-    if not os.path.exists(os.path.join(
-            root, "speedplus", "synthetic", "splits_" + model, "train.csv")) \
-            or (attitude_npy and not os.path.exists(attitude_npy)):
+    # _GEN's stage-level skip-existing logic keeps regeneration cheap:
+    # images are kept, bins + CSVs redo.
+    if _needs_generate(root, model, attitude_npy, num_classes):
         _generate(root, n_train, width, height, model, cache_dir, num_classes)
 
     cfg = parse_cfg([
@@ -184,6 +206,10 @@ def main():
         print(f"{ep:5d}  {c.get('Valid/err_q [deg]', float('nan')):8.3f} "
               f"{c.get('Valid/err_t [m]', float('nan')):8.4f} "
               f"{c.get('Valid/speed (raw) [-]', float('nan')):10.5f}")
+    if not curve:
+        sys.exit(f"[convergence] no validation scalars recorded — is "
+                 f"--epochs ({epochs}) smaller than --test_every "
+                 f"({test_every})?")
     last = curve[max(curve)]
     print(json.dumps({
         "convergence_final_eR_deg": round(last.get("Valid/err_q [deg]", -1), 4),

@@ -85,13 +85,15 @@ def _generate(root, n_src, n_tgt, width, height, cache_dir):
         check=True, env=env, cwd=REPO)
 
 
-def _run_arm(script, args, retries, timeout_s):
+def _run_arm(script, args, retries, timeout_s, env=None):
     """Run a CLI arm as the sole TPU subprocess; auto-resume makes retries
-    cheap after a remote-compile stall."""
+    cheap after a remote-compile stall. ``env`` (default: inherit) lets a
+    caller pin arm-specific variables like SPEEDPLUS_ASSETS_DIR."""
     cmd = [sys.executable, os.path.join(REPO, script)] + args
     for attempt in range(retries):
         try:
-            subprocess.run(cmd, check=True, cwd=REPO, timeout=timeout_s)
+            subprocess.run(cmd, check=True, cwd=REPO, timeout=timeout_s,
+                           env=env)
             return
         except subprocess.TimeoutExpired:
             print(f"[{script}] attempt {attempt + 1} timed out after "
@@ -187,6 +189,10 @@ def main():
                   f"{c.get('Valid/err_q [deg]', float('nan')):8.3f} "
                   f"{c.get('Valid/err_t [m]', float('nan')):8.4f} "
                   f"{c.get('Valid/speed (raw) [-]', float('nan')):10.5f}")
+    if not src or not dann:
+        sys.exit(f"[dann_ab] no validation scalars recorded (src: {len(src)} "
+                 f"points, dann: {len(dann)}) — are --epochs_src/--epochs_dann "
+                 f"smaller than --test_every ({args.test_every})?")
     a = src[max(src)]
     b = dann[max(dann)]
     print(json.dumps({

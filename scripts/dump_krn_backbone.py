@@ -70,18 +70,11 @@ def backbone_to_torchvision(params, stats) -> dict:
                 dw_i, proj_conv_i, proj_bn_i = 0, 1, 2
             _inv_convbn(sd, f"{base}.{dw_i}.0", f"{base}.{dw_i}.1",
                         p["depthwise"], s["depthwise"])
-            sd[f"{base}.{proj_conv_i}.weight"] = _inv_conv(
-                p["project"]["Conv_0"]["kernel"])
-            bn_p = p["project"]["BatchNorm_0"]
-            bn_s = s["project"]["BatchNorm_0"]
-            sd[f"{base}.{proj_bn_i}.weight"] = np.asarray(
-                bn_p["scale"], dtype=np.float32)
-            sd[f"{base}.{proj_bn_i}.bias"] = np.asarray(
-                bn_p["bias"], dtype=np.float32)
-            sd[f"{base}.{proj_bn_i}.running_mean"] = np.asarray(
-                bn_s["mean"], dtype=np.float32)
-            sd[f"{base}.{proj_bn_i}.running_var"] = np.asarray(
-                bn_s["var"], dtype=np.float32)
+            # torchvision's project conv/BN are bare children of `conv`
+            # (conv.N / conv.N+1), not nested Sequentials — the key shapes
+            # still match what _inv_convbn emits.
+            _inv_convbn(sd, f"{base}.{proj_conv_i}", f"{base}.{proj_bn_i}",
+                        p["project"], s["project"])
             idx += 1
     return sd
 

@@ -66,22 +66,31 @@ build_cache(root, "speedplus", "synthetic",
 """
 
 
-def _prepare_assets(donor: str, assets_dir: str) -> None:
-    """Donor msgpack -> torchvision .pth -> converted backbone msgpack, via
-    the real dump + convert CLIs (CPU subprocesses; the donor file is pure
-    host-side numpy either way). SPEEDPLUS_ASSETS_DIR redirects ALL asset
-    lookups (tango_points.npy etc.), so mirror the standard assets in."""
+def _mirror_assets(assets_dir: str) -> None:
+    """SPEEDPLUS_ASSETS_DIR redirects ALL asset lookups (tango_points.npy
+    etc.), so mirror the standard assets in — EXCEPT any pretrained
+    backbone, which is exactly the variable under test: the boot arm gets
+    only the donor's converted backbone, the scratch arm none."""
     import shutil
 
     os.makedirs(assets_dir, exist_ok=True)
     std = os.path.join(REPO, "assets")
     for fn in os.listdir(std):
+        if fn == "mobilenetv2_backbone.msgpack":
+            continue
         dst = os.path.join(assets_dir, fn)
         if not os.path.exists(dst):
             shutil.copy2(os.path.join(std, fn), dst)
+
+
+def _prepare_assets(donor: str, assets_dir: str) -> None:
+    """Donor msgpack -> torchvision .pth -> converted backbone msgpack, via
+    the real dump + convert CLIs (CPU subprocesses; the donor file is pure
+    host-side numpy either way). Always regenerated from the donor (seconds,
+    deterministic) so a stale backbone from an earlier --donor can never
+    shadow the requested one."""
+    _mirror_assets(assets_dir)
     out = os.path.join(assets_dir, "mobilenetv2_backbone.msgpack")
-    if os.path.exists(out):
-        return
     pth = os.path.join(assets_dir, "krn_backbone.pth")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     subprocess.run([sys.executable,
@@ -94,7 +103,7 @@ def _prepare_assets(donor: str, assets_dir: str) -> None:
                    check=True, env=env, cwd=REPO)
 
 
-def _train_donor(root, width, height, retries, timeout_s):
+def _train_donor(root, width, height, retries, timeout_s, env=None):
     """Self-contained donor: 768-image synthetic split (default render seed,
     distinct from the A/B split's seed=7), reference KRN recipe
     (README.md:78-87), no mid-run validation. Returns the checkpoint path."""
@@ -123,16 +132,25 @@ def _train_donor(root, width, height, retries, timeout_s):
         "--cache_dir", cache_dir,
         "--savedir", os.path.join(droot, "save"),
         "--logdir", os.path.join(droot, "log"),
-    ], retries, timeout_s)
+    ], retries, timeout_s, env=env)
     return ckpt
 
 
 def run(root, donor, n_train, epochs, test_every, width, height, retries,
         timeout_s):
+    # Both the donor and arm A must see NO pretrained backbone — a repo-level
+    # assets/mobilenetv2_backbone.msgpack or a leftover SPEEDPLUS_ASSETS_DIR
+    # in the caller's environment would otherwise be silently loaded by
+    # train.py's epoch-0 maybe_load_pretrained, collapsing the A/B.
+    scratch_assets = os.path.join(root, "scratch_assets")
+    _mirror_assets(scratch_assets)
+    clean_env = dict(os.environ, SPEEDPLUS_ASSETS_DIR=scratch_assets)
+
     if not os.path.exists(donor):
         print(f"[krn_transfer] donor {donor} absent; training one under "
               f"{root}/donor", flush=True)
-        donor = _train_donor(root, width, height, retries, timeout_s)
+        donor = _train_donor(root, width, height, retries, timeout_s,
+                             env=clean_env)
 
     cache_dir = os.path.join(root, "cache")
     if not os.path.exists(os.path.join(
@@ -159,28 +177,22 @@ def run(root, donor, n_train, epochs, test_every, width, height, retries,
         "--cache_dir", cache_dir,
         "--batch_size", "48", "--max_epochs", str(epochs),
     ]
-    # Arm A: random init (the reference recipe minus pretrained=True).
+    # Arm A: random init (the reference recipe minus pretrained=True),
+    # pinned to the backbone-free assets mirror.
     if not os.path.exists(os.path.join(root, "log_scratch", "done")):
         _run_arm("train.py", common + [
             "--savedir", os.path.join(root, "save_scratch"),
             "--logdir", os.path.join(root, "log_scratch"),
-        ], retries, timeout_s)
+        ], retries, timeout_s, env=clean_env)
         open(os.path.join(root, "log_scratch", "done"), "w").close()
     # Arm B: donor backbone through maybe_load_pretrained (park2019.py:107
     # semantics — trunk pretrained, extras/head fresh).
     if not os.path.exists(os.path.join(root, "log_boot", "done")):
-        env_saved = os.environ.get("SPEEDPLUS_ASSETS_DIR")
-        os.environ["SPEEDPLUS_ASSETS_DIR"] = assets_dir
-        try:
-            _run_arm("train.py", common + [
-                "--savedir", os.path.join(root, "save_boot"),
-                "--logdir", os.path.join(root, "log_boot"),
-            ], retries, timeout_s)
-        finally:
-            if env_saved is None:
-                os.environ.pop("SPEEDPLUS_ASSETS_DIR", None)
-            else:
-                os.environ["SPEEDPLUS_ASSETS_DIR"] = env_saved
+        _run_arm("train.py", common + [
+            "--savedir", os.path.join(root, "save_boot"),
+            "--logdir", os.path.join(root, "log_boot"),
+        ], retries, timeout_s,
+            env=dict(os.environ, SPEEDPLUS_ASSETS_DIR=assets_dir))
         open(os.path.join(root, "log_boot", "done"), "w").close()
 
     return _curve(os.path.join(root, "log_scratch")), \
@@ -193,7 +205,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", type=str, required=True)
     p.add_argument("--donor", type=str,
-                   default="runs/dann_ab/save_src/model_best.msgpack")
+                   default=os.path.join(REPO, "runs", "dann_ab", "save_src",
+                                        "model_best.msgpack"))
     p.add_argument("--n_train", type=int, default=96)
     p.add_argument("--epochs", type=int, default=120)
     p.add_argument("--test_every", type=int, default=10)
@@ -218,6 +231,11 @@ def main():
                   f"{c.get('Valid/err_t [m]', float('nan')):8.4f} "
                   f"{c.get('Valid/speed (raw) [-]', float('nan')):10.5f}")
 
+    if not scratch or not boot:
+        sys.exit(f"[krn_transfer] no validation scalars recorded (scratch: "
+                 f"{len(scratch)} points, boot: {len(boot)}) — is --epochs "
+                 f"({args.epochs}) smaller than --test_every "
+                 f"({args.test_every})?")
     a = scratch[max(scratch)]
     b = boot[max(boot)]
     print(json.dumps({
